@@ -1,0 +1,27 @@
+"""cuahn-vio_tpu: a TPU-native (JAX/XLA/Pallas) visual-inertial odometry framework.
+
+A from-scratch rebuild of the capabilities of tudelft/CUAHN-VIO (reference:
+content-and-uncertainty-aware homography network + robocentric EKF for
+downward-facing drone cameras over planar ground), re-designed TPU-first:
+
+- ``cuahn_vio.ops``      : Hamilton quaternion / SO(3) math, DLT homography
+                           solve, homography image warping (XLA + Pallas).
+- ``cuahn_vio.models``   : the 4-block cascaded UAHN homography network with
+                           MC-dropout uncertainty, as a flax module with a
+                           vmapped ensemble axis.
+- ``cuahn_vio.filter``   : pure-functional 27-state robocentric EKF
+                           (propagate / update / reset as jitted pure fns).
+- ``cuahn_vio.pipeline`` : the per-frame ``vio_step`` and ``lax.scan``
+                           sequence runner; batched multi-sequence execution.
+- ``cuahn_vio.data``     : UZH-FPV ground-truth loading, IMU windowing, and a
+                           homography-aware synthetic planar-scene generator.
+- ``cuahn_vio.eval``     : trajectory alignment (umeyama/posyaw/se3/sim3),
+                           ATE/RPE/NEES metrics, trajectory/timing file I/O
+                           byte-compatible with the reference's ov_eval.
+- ``cuahn_vio.parallel`` : device meshes, sequence-sharded evaluation, and
+                           collective metric aggregation.
+- ``cuahn_vio.train``    : self-supervised photometric + NLL training for the
+                           network (the reference ships no training code).
+"""
+
+__version__ = "0.1.0"

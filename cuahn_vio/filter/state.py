@@ -1,0 +1,111 @@
+"""Filter state and static parameters (pure pytrees).
+
+The reference's mutable 27-state error-state container
+(cuahn_ros/cuahn/src/state/State.{h,cpp}) becomes an immutable NamedTuple;
+every filter operation is a pure function state -> state.
+
+State layout (State.cpp:31-91): error-state ids
+  p 0:3 | q 3:6 | v 6:9 | ba 9:12 | bg 12:15 | 4x corner offsets 15:27
+with corners ordered UL, BL, BR, UR.
+
+Robocentric convention (Propagator.cpp:342-364, RosVisualizer.cpp:171):
+  - q is the Hamilton body(IMU)->world quaternion (wxyz),
+  - p is the position of the world origin->IMU vector expressed in the
+    CURRENT IMU frame; world position = R(q) @ p,
+  - v is the IMU velocity expressed in the current IMU frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# normalized corner bearing vectors (State.h:110-113): (±1, ±111.5/159.5, 1)
+CORNER_XY1 = jnp.array(
+    [
+        [-1.0, -0.69906, 1.0],  # upper-left
+        [-1.0, 0.69906, 1.0],  # bottom-left
+        [1.0, 0.69906, 1.0],  # bottom-right
+        [1.0, -0.69906, 1.0],  # upper-right
+    ],
+    dtype=jnp.float32,
+)
+
+# pixel <-> normalized-camera scaling (VioManager.cpp:234, UpdaterHNet.cpp:33)
+FOCAL = 159.5
+FOCAL2 = 25440.25  # 159.5^2 (UpdaterHNet.cpp:31)
+
+STATE_DIM = 27
+CORE_DIM = 15
+
+
+class FilterState(NamedTuple):
+    """The 27-state filter estimate: a small pytree, trivially checkpointable."""
+
+    p: jnp.ndarray  # (3,)  world-origin -> IMU, in IMU frame
+    q: jnp.ndarray  # (4,)  Hamilton wxyz, IMU -> world
+    v: jnp.ndarray  # (3,)  velocity in IMU frame
+    ba: jnp.ndarray  # (3,) accelerometer bias
+    bg: jnp.ndarray  # (3,) gyroscope bias
+    off: jnp.ndarray  # (4, 3) corner-offset states (z nominally 0)
+    cov: jnp.ndarray  # (27, 27) error-state covariance
+
+
+class FilterParams(NamedTuple):
+    """Static (non-estimated) filter parameters.
+
+    The camera extrinsics are stored exactly as the reference does
+    (State.cpp:93-99): c_rot_i = R (cam<-imu), i_t_i2c = -Rᵀ t from the
+    T_ItoC homogeneous matrix.
+    """
+
+    c_rot_i: jnp.ndarray  # (3, 3) rotation IMU -> camera
+    i_t_i2c: jnp.ndarray  # (3,)   IMU -> camera offset, in IMU frame
+    gravity: jnp.ndarray  # (3,)   [0, 0, -9.81] world FLU (Propagator.h:100)
+    q_noise: jnp.ndarray  # (15, 15) process noise (Propagator.h:93-97)
+    k_net_cov: jnp.ndarray  # scalar: measurement-cov tuning (UpdaterOptions.h:33)
+
+
+def make_params(
+    t_imu_to_cam: jnp.ndarray,
+    gravity_mag: float = 9.81,
+    sigma_w: float = 0.00559017,
+    sigma_a: float = 0.01118034,
+    sigma_wb: float = 8.94427e-4,
+    sigma_ab: float = 0.04472136,
+    k_net_cov: float = 10.0,
+    dtype=jnp.float32,
+) -> FilterParams:
+    """Build FilterParams from the 4x4 T_ItoC extrinsic and noise densities.
+
+    Noise defaults are the UZH-FPV launch values (cuahn/launch/uzhfpv.launch:
+    70-74); Q layout per Propagator.h:93-97 including the extra 1e-4*I
+    position process noise.
+    """
+    t = jnp.asarray(t_imu_to_cam, dtype)
+    c_rot_i = t[:3, :3]
+    i_t_i2c = -c_rot_i.T @ t[:3, 3]
+    q = jnp.zeros((15, 15), dtype)
+    q = q.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * sigma_w**2)
+    q = q.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * sigma_a**2)
+    q = q.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * sigma_ab**2)
+    q = q.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * sigma_wb**2)
+    q = q.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * 1.0e-4)
+    return FilterParams(
+        c_rot_i=c_rot_i,
+        i_t_i2c=i_t_i2c,
+        gravity=jnp.array([0.0, 0.0, -gravity_mag], dtype),
+        q_noise=q,
+        k_net_cov=jnp.asarray(k_net_cov, dtype),
+    )
+
+
+def reset_4pt_offset(state: FilterState) -> FilterState:
+    """Zero the corner offsets and every covariance entry outside the
+    top-left 15x15 core block (State.cpp:101-111)."""
+    new_cov = jnp.zeros_like(state.cov)
+    new_cov = new_cov.at[:CORE_DIM, :CORE_DIM].set(
+        state.cov[:CORE_DIM, :CORE_DIM]
+    )
+    return state._replace(off=jnp.zeros_like(state.off), cov=new_cov)

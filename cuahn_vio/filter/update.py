@@ -1,0 +1,73 @@
+"""EKF measurement update with the network's 4-point offset + covariance.
+
+Rebuilds cuahn_ros/cuahn/src/update/UpdaterHNet.{h,cpp}:
+
+- H (8x27) is the constant selector of the (x, y) components of the four
+  corner-offset states (UpdaterHNet.h:56-66) — realized here as indexed
+  gathers/scatters instead of materializing the sparse matrix.
+- K = P Hᵀ (H P Hᵀ + K_net * Σ_net / 159.5²)⁻¹, innovation =
+  mean_net/159.5 − propagated offset, P <- (I − K H) P, additive state
+  correction with quaternion right-update (UpdaterHNet.cpp:28-61).
+- ``update_offset=False`` (last IEKF iteration, VioManager.cpp:261-263)
+  applies the correction only to the 15 core states.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cuahn_vio.filter.state import FOCAL, FOCAL2, FilterParams, FilterState
+from cuahn_vio.ops.homography import f32_precision
+from cuahn_vio.ops.quat import quat_exp, quat_mul, quat_normalize
+
+# columns of the 27-state selected by the 8 measurement rows (UpdaterHNet.h:56-66)
+MEAS_IDX = jnp.array([15, 16, 18, 19, 21, 22, 24, 25], jnp.int32)
+
+
+def propagated_offset8(state: FilterState) -> jnp.ndarray:
+    """The propagated 4-point offset prior, (8,), normalized camera units
+    (VioManager.cpp:230-233). Multiply by 159.5 for pixels."""
+    return state.off[:, :2].reshape(8)
+
+
+@f32_precision
+def hnet_update(
+    state: FilterState,
+    params: FilterParams,
+    net_mean8: jnp.ndarray,
+    net_cov88: jnp.ndarray,
+    update_offset: bool,
+) -> FilterState:
+    """One EKF update (UpdaterHNet::update).
+
+    Args:
+        net_mean8: (8,) network 4-point flow, PIXELS.
+        net_cov88: (8, 8) network covariance, pixels².
+        update_offset: if False, only the 15 core states receive the
+            correction (the offsets are about to be reset anyway).
+    """
+    dtype = state.p.dtype
+    p_cols = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
+    s_mat = p_cols[MEAS_IDX, :] + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
+    k_gain = jnp.linalg.solve(s_mat.T, p_cols.T).T  # (27, 8) = P Hᵀ S⁻¹
+
+    inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
+
+    # P <- (I - K H) P ; K H is K scattered into the measured columns
+    kh = jnp.zeros((27, 27), dtype).at[:, MEAS_IDX].set(k_gain)
+    new_cov = state.cov - kh @ state.cov
+
+    d = k_gain @ inno  # (27,)
+    if not update_offset:
+        d = d.at[15:].set(0.0)
+
+    new_off = state.off + d[15:27].reshape(4, 3)
+    return FilterState(
+        p=state.p + d[0:3],
+        q=quat_normalize(quat_mul(state.q, quat_exp(d[3:6]))),
+        v=state.v + d[6:9],
+        ba=state.ba + d[9:12],
+        bg=state.bg + d[12:15],
+        off=new_off,
+        cov=new_cov,
+    )

@@ -1,0 +1,153 @@
+"""The per-frame VIO step and sequence runners.
+
+Rebuilds VioManager::do_feature_propagate_update (cuahn_ros/cuahn/src/core/
+VioManager.cpp:200-315) as one jitted pure function:
+
+    vio_step: (FilterState, frame inputs) -> (FilterState, outputs)
+
+    1. propagate over the frame's (padded) IMU window
+    2. IEKF loop, statically unrolled to max_iekf_iterations
+       (VioManager.cpp:227-273): read the propagated 4-point-offset prior
+       from the state, x159.5 -> pixels, network inference (prior mode),
+       EKF update (offsets not updated on the last iteration,
+       VioManager.cpp:261-263), gated until frame_idx > 10
+       (VioManager.cpp:257)
+    3. reset the 4-point offsets + covariance (State.cpp:101-111)
+
+and a whole sequence as ``lax.scan(vio_step, init, frames)`` — the filter is
+a recurrence, so latency is serial, but throughput scales by vmapping the
+scan over a batch of sequences (see cuahn_vio.parallel).
+
+Outputs per frame: robocentric->world pose (RosVisualizer.cpp:171:
+p_world = R(q) @ p), plus the pose covariance blocks needed for NEES.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cuahn_vio.filter.state import FOCAL, FilterParams, FilterState, reset_4pt_offset
+from cuahn_vio.filter.propagate import propagate_window
+from cuahn_vio.filter.update import hnet_update, propagated_offset8
+from cuahn_vio.ops.quat import quat_to_rot
+
+
+@dataclass(frozen=True)
+class VioConfig:
+    """Static pipeline configuration (mirrors VioManagerOptions defaults
+    used by cuahn/launch/uzhfpv.launch)."""
+
+    max_iekf_iterations: int = 1  # uzhfpv.launch:67
+    use_prior: bool = True  # uzhfpv.launch:58
+    update_gate_frames: int = 10  # VioManager.cpp:257
+    blocks_to_run: int = 3
+
+
+class FrameOutput(NamedTuple):
+    p_world: jnp.ndarray  # (3,) IMU position in world frame
+    q: jnp.ndarray  # (4,) wxyz IMU->world
+    v_body: jnp.ndarray  # (3,) velocity, IMU frame
+    cov_pose: jnp.ndarray  # (6, 6) [p; theta] covariance block
+    net_mean: jnp.ndarray  # (8,) last network flow (px), for diagnostics
+    net_cov_tr: jnp.ndarray  # () trace of net covariance (px^2)
+
+
+class VioCarry(NamedTuple):
+    state: FilterState
+    frame_idx: jnp.ndarray  # () int32, counts processed images (gate)
+
+
+def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioConfig):
+    """Build the jittable per-frame step closure.
+
+    Args:
+        model: UAHN flax module (or None to run filter-only, dead-reckoning).
+        net_params: the model's parameter pytree.
+        fparams: FilterParams.
+        cfg: VioConfig.
+    """
+
+    def vio_step(carry: VioCarry, xs):
+        img_prev_u8, img_curr_u8, w_win, a_win, dt_win, key = xs
+        state = carry.state
+
+        # 1. propagation (Propagator.cpp:60-71)
+        state = propagate_window(state, fparams, w_win, a_win, dt_win)
+
+        net_mean = jnp.zeros(8, state.p.dtype)
+        net_cov_tr = jnp.zeros((), state.p.dtype)
+        if model is not None:
+            img1 = img_prev_u8.astype(jnp.float32) / 255.0
+            img2 = img_curr_u8.astype(jnp.float32) / 255.0
+
+            # 2. IEKF loop, static trip count (VioManager.cpp:227-273)
+            for it in range(cfg.max_iekf_iterations):
+                prior_px = (propagated_offset8(state) * FOCAL).reshape(4, 2)
+                flow8, cov88 = model.apply(
+                    {"params": net_params},
+                    img1,
+                    img2,
+                    prior_px if cfg.use_prior else None,
+                    use_prior=cfg.use_prior,
+                    rngs={"dropout": jax.random.fold_in(key, it)},
+                )
+                update_offset = it != cfg.max_iekf_iterations - 1
+                gate = carry.frame_idx > cfg.update_gate_frames
+                state = jax.lax.cond(
+                    gate,
+                    lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
+                    lambda s: s,
+                    state,
+                )
+                net_mean, net_cov_tr = flow8, jnp.trace(cov88)
+
+        # output world-frame pose (RosVisualizer.cpp:171)
+        rot = quat_to_rot(state.q)
+        out = FrameOutput(
+            p_world=rot @ state.p,
+            q=state.q,
+            v_body=state.v,
+            cov_pose=state.cov[:6, :6],
+            net_mean=net_mean,
+            net_cov_tr=net_cov_tr,
+        )
+
+        # 3. reset (VioManager.cpp:275)
+        state = reset_4pt_offset(state)
+        return VioCarry(state=state, frame_idx=carry.frame_idx + 1), out
+
+    return vio_step
+
+
+def run_sequence(
+    init_state: FilterState,
+    model: Any,
+    net_params: Any,
+    fparams: FilterParams,
+    cfg: VioConfig,
+    imgs_u8: jnp.ndarray,  # (F+1, H, W) uint8 frames (undistorted 224x320)
+    w_win: jnp.ndarray,  # (F, T, 3)
+    a_win: jnp.ndarray,  # (F, T, 3)
+    dt_win: jnp.ndarray,  # (F, T)
+    key: jax.Array,
+):
+    """Run a full sequence under one jit: scan of vio_step over frame pairs.
+
+    The first camera frame only primes the image pair (HomographyNet.cpp:
+    137-141); inference starts at the second frame, matching the reference.
+    """
+    frames = w_win.shape[0]
+    keys = jax.random.split(key, frames)
+    step = make_vio_step(model, net_params, fparams, cfg)
+    xs = (imgs_u8[:-1], imgs_u8[1:], w_win, a_win, dt_win, keys)
+    carry0 = VioCarry(state=init_state, frame_idx=jnp.zeros((), jnp.int32))
+    carry, outs = jax.lax.scan(step, carry0, xs)
+    return carry.state, outs
+
+
+run_sequence_jit = partial(jax.jit, static_argnames=("model", "cfg"))(run_sequence)
