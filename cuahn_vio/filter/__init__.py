@@ -7,7 +7,12 @@ from cuahn_vio.filter.state import (  # noqa: F401
     make_params,
     reset_4pt_offset,
 )
-from cuahn_vio.filter.propagate import propagate_step, propagate_window  # noqa: F401
+from cuahn_vio.filter.propagate import (  # noqa: F401
+    compute_jacobians,
+    predict_mean,
+    propagate_step,
+    propagate_window,
+)
 from cuahn_vio.filter.update import hnet_update, propagated_offset8  # noqa: F401
 from cuahn_vio.filter.initializer import (  # noqa: F401
     InitResult,

@@ -64,6 +64,34 @@ def _corner_jacobians(pt, wc, vc, muc, dc):
 
 
 @f32_precision
+def predict_mean(state: FilterState, params: FilterParams, w_m, a_m, dt) -> FilterState:
+    """Mean-only propagation (predict_mean_discrete, Propagator.cpp:342-364).
+
+    Kept separate so the analytic F can be verified against
+    ``jax.jacfwd`` of this function (SURVEY.md §4). Covariance passes
+    through unchanged.
+    """
+    dtype = state.p.dtype
+    w_hat = w_m - state.bg
+    a_hat = a_m - state.ba
+    rot = quat_to_rot(state.q)
+
+    wc = params.c_rot_i @ w_hat
+    vc = params.c_rot_i @ (state.v + skew(w_hat) @ params.i_t_i2c)
+    muc = params.c_rot_i @ (rot.T @ _MUW.astype(dtype))
+    dc = (rot @ (state.p + params.i_t_i2c))[2]
+    pts = CORNER_XY1.astype(dtype) + state.off
+
+    new_q = quat_normalize(quat_mul(state.q, quat_exp(w_hat * dt)))
+    new_v = state.v + dt * (-skew(w_hat) @ state.v + a_hat + rot.T @ params.gravity)
+    new_p = state.p + dt * (-skew(w_hat) @ state.p + state.v)
+    h_flow = skew(wc) + jnp.outer(vc, muc) / dc
+    flow = -((h_flow @ pts.T).T - pts * (pts @ h_flow.T @ _EZ.astype(dtype))[:, None])
+    new_off = state.off + dt * flow
+    return state._replace(p=new_p, q=new_q, v=new_v, off=new_off)
+
+
+@f32_precision
 def propagate_step(
     state: FilterState, params: FilterParams, w_m, a_m, dt
 ) -> FilterState:
@@ -78,10 +106,21 @@ def propagate_step(
         a_m: (3,) measured specific force.
         dt: scalar interval length (s).
     """
+    new_mean = predict_mean(state, params, w_m, a_m, dt)
+    f, fw = compute_jacobians(state, params, w_m, a_m, dt)
+    # ---- covariance (StateHelper.cpp:28-32)
+    new_cov = f @ state.cov @ f.T + fw @ params.q_noise @ fw.T
+    return new_mean._replace(cov=new_cov)
+
+
+@f32_precision
+def compute_jacobians(state: FilterState, params: FilterParams, w_m, a_m, dt):
+    """The analytic state-transition F (27x27) and noise Jacobian Fw (27x15)
+    (predict_and_compute, Propagator.cpp:224-325). Verified against
+    ``jax.jacfwd`` of ``predict_mean`` in tests/test_propagate.py."""
     dtype = state.p.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     w_hat = w_m - state.bg
-    a_hat = a_m - state.ba
     rot = quat_to_rot(state.q)  # R: IMU -> world
 
     # camera-frame quantities (Propagator.cpp:212-215)
@@ -91,19 +130,6 @@ def propagate_step(
     dc = (rot @ (state.p + params.i_t_i2c))[2]
 
     pts = CORNER_XY1.astype(dtype) + state.off  # (4, 3)
-
-    # ---- mean propagation (predict_mean_discrete, Propagator.cpp:342-364)
-    new_q = quat_normalize(quat_mul(state.q, quat_exp(w_hat * dt)))
-    new_v = state.v + dt * (
-        -skew(w_hat) @ state.v + a_hat + rot.T @ params.gravity
-    )
-    new_p = state.p + dt * (-skew(w_hat) @ state.p + state.v)
-    h_flow = skew(wc) + jnp.outer(vc, muc) / dc
-    # off' = off + dt * (-(I - pt e_zᵀ) H pt), per corner
-    flow = -(
-        (h_flow @ pts.T).T - pts * (pts @ h_flow.T @ _EZ.astype(dtype))[:, None]
-    )
-    new_off = state.off + dt * flow
 
     # ---- F (27x27) core blocks (Propagator.cpp:224-237)
     f = jnp.zeros((27, 27), dtype)
@@ -164,13 +190,7 @@ def propagate_step(
         r = 15 + 3 * k
         fw = fw.at[r : r + 3, 0:3].set(-f[r : r + 3, 12:15])
 
-    # ---- covariance (StateHelper.cpp:28-32)
-    new_cov = f @ state.cov @ f.T + fw @ params.q_noise @ fw.T
-
-    return FilterState(
-        p=new_p, q=new_q, v=new_v, ba=state.ba, bg=state.bg,
-        off=new_off, cov=new_cov,
-    )
+    return f, fw
 
 
 def propagate_window(
