@@ -1,0 +1,196 @@
+"""Host orchestration: streaming init -> windowing -> jitted scan -> files.
+
+Replaces the reference's VioManager + ROS node glue (VioManager.cpp:123-198,
+ros_subscribe_cuahn.cpp) for offline/batch execution: instead of callbacks
+mutating shared state, the host (a) replays the IMU stream into the
+initializer exactly like feed_measurement_imu, (b) precomputes padded IMU
+windows, and (c) hands fixed-shape arrays to the jitted scan.
+
+Two execution modes:
+- ``run_offline``: whole sequence under one jit (max throughput).
+- ``run_stepwise``: per-frame jitted step with host stage timers, emitting
+  the reference's timing CSV schema (VioManager.cpp:98,304-312).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuahn_vio.filter import (
+    FilterParams,
+    initial_state,
+    propagate_window,
+    try_initialize,
+)
+from cuahn_vio.pipeline.imu_window import build_imu_windows, select_imu_readings
+from cuahn_vio.pipeline.vio import FrameOutput, VioConfig, make_vio_step, run_sequence, VioCarry
+from cuahn_vio.ops.quat import quat_to_rot
+
+
+@dataclass
+class RunnerOptions:
+    """Mirrors the launch-file knobs used by the runner
+    (uzhfpv.launch:17-19,43,66-67)."""
+
+    calib_camimu_dt: float = -0.0148489
+    init_window_time: float = 1.0
+    init_imu_thresh: float = 0.5
+    init_height: float = 0.1
+    gravity_mag: float = 9.81
+    max_imu_steps_per_frame: int = 64
+
+
+class RunResult(NamedTuple):
+    times: np.ndarray  # (F,) output timestamps (IMU clock)
+    pose_w: np.ndarray  # (F, 7) [x y z qx qy qz qw] (file convention)
+    cov_ori: np.ndarray  # (F, 3, 3)
+    cov_pos: np.ndarray  # (F, 3, 3)
+    t0: float
+    stage_ms: Optional[np.ndarray]  # (F, 5) timing rows or None
+
+
+def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
+    """Replay frames; at each camera time, attempt initialization with the
+    IMU seen so far (feed_measurement_imu + try_to_initialize semantics).
+
+    Returns (init result, index of first processed camera frame).
+    """
+    for fi, tc in enumerate(cam_t):
+        t_imu_cut = tc + opts.calib_camimu_dt
+        n = int(np.searchsorted(imu_t, t_imu_cut, side="right"))
+        res = try_initialize(
+            imu_t[:n], imu_w[:n], imu_a[:n],
+            window_length=opts.init_window_time,
+            imu_excite_threshold=opts.init_imu_thresh,
+            init_height=opts.init_height,
+            gravity_mag=opts.gravity_mag,
+        )
+        if res is not None:
+            return res, fi
+    return None, -1
+
+
+def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
+    p = np.asarray(out.p_world)
+    q = np.asarray(out.q)  # wxyz
+    pose = np.concatenate([p, q[:, [1, 2, 3, 0]]], axis=1)
+    cov = np.asarray(out.cov_pose)
+    return RunResult(
+        times=np.asarray(times),
+        pose_w=pose,
+        cov_ori=cov[:, 3:6, 3:6],
+        cov_pos=cov[:, 0:3, 0:3],
+        t0=t0,
+        stage_ms=stage_ms,
+    )
+
+
+def prepare_sequence(
+    imu_t, imu_w, imu_a, cam_t, frames_u8, opts: RunnerOptions,
+    fparams: FilterParams,
+):
+    """Initialization + window building.
+
+    Returns (init, state0, win, cam_used, frames_used) where ``state0`` is
+    already propagated to the FIRST processed frame's time, and ``win``
+    holds F-1 padded windows, entry k covering frame k -> frame k+1 —
+    exactly the scan steps over image pairs.
+    """
+    init, fi = _streaming_init(imu_t, imu_w, imu_a, cam_t, opts)
+    if init is None:
+        raise RuntimeError("initialization never fired (no jerk detected)")
+
+    cam_used = cam_t[fi:]
+    frames_used = frames_u8[fi:]
+    frame_times_imu = cam_used + opts.calib_camimu_dt
+
+    # window 0 (init t0 -> first frame) can span seconds (t0 sits one init
+    # window in the past, InertialInitializer.cpp:266-272); it runs once
+    # outside the scan, so give it an exact-size window.
+    state0 = initial_state(init)
+    t0s, w0s, a0s = select_imu_readings(
+        imu_t, imu_w, imu_a, init.t0, frame_times_imu[0]
+    )
+    if t0s.shape[0] >= 2:
+        dt0 = np.diff(t0s).astype(np.float32)
+        w0 = (0.5 * (w0s[:-1] + w0s[1:])).astype(np.float32)
+        a0 = (0.5 * (a0s[:-1] + a0s[1:])).astype(np.float32)
+        state0 = propagate_window(
+            state0, fparams, jnp.array(w0), jnp.array(a0), jnp.array(dt0)
+        )
+
+    win = build_imu_windows(
+        imu_t, imu_w, imu_a, frame_times_imu[0], frame_times_imu[1:],
+        max_steps=opts.max_imu_steps_per_frame,
+    )
+    return init, state0, win, cam_used, frames_used
+
+
+def run_offline(
+    imu_t, imu_w, imu_a, cam_t, frames_u8,
+    model: Any, net_params: Any, fparams: FilterParams,
+    cfg: VioConfig, opts: RunnerOptions, seed: int = 0,
+) -> RunResult:
+    """Whole-sequence jitted run (lax.scan). Returns per-frame world poses
+    for the second processed frame onward (scan steps are image pairs)."""
+    init, state0, win, cam_used, frames_used = prepare_sequence(
+        imu_t, imu_w, imu_a, cam_t, frames_u8, opts, fparams
+    )
+    final_state, outs = run_sequence(
+        state0, model, net_params, fparams, cfg,
+        jnp.array(frames_used),
+        jnp.array(win.w_mid), jnp.array(win.a_mid), jnp.array(win.dt),
+        jax.random.PRNGKey(seed),
+    )
+    times_out = cam_used[1:] + opts.calib_camimu_dt
+    return _outputs_to_result(outs, times_out, init.t0)
+
+
+def run_stepwise(
+    imu_t, imu_w, imu_a, cam_t, frames_u8,
+    model: Any, net_params: Any, fparams: FilterParams,
+    cfg: VioConfig, opts: RunnerOptions, seed: int = 0,
+) -> RunResult:
+    """Per-frame jitted step with host stage timing, emitting the reference
+    CSV columns (VioManager.cpp:98): [load, prop, net, update, total] ms.
+    The jitted step fuses propagation+inference+update, so the fused device
+    time is attributed to the network column (the EKF update column is
+    ~0.05 ms in the reference and not separable under fusion)."""
+    init, state0, win, cam_used, frames_used = prepare_sequence(
+        imu_t, imu_w, imu_a, cam_t, frames_u8, opts, fparams
+    )
+    step = jax.jit(make_vio_step(model, net_params, fparams, cfg))
+    carry = VioCarry(state=state0, frame_idx=jnp.zeros((), jnp.int32))
+
+    frames_dev = jnp.array(frames_used)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(cam_used))
+
+    rows, outs_list, stage = [], [], []
+    for f in range(1, len(cam_used)):
+        t_a = time.perf_counter()
+        xs = (
+            frames_dev[f - 1], frames_dev[f],
+            jnp.array(win.w_mid[f - 1]), jnp.array(win.a_mid[f - 1]),
+            jnp.array(win.dt[f - 1]), keys[f],
+        )
+        t_b = time.perf_counter()
+        carry, out = step(carry, xs)
+        jax.block_until_ready(carry.state.p)
+        t_c = time.perf_counter()
+        outs_list.append(jax.device_get(out))
+        load_ms = (t_b - t_a) * 1e3
+        fused_ms = (t_c - t_b) * 1e3
+        total_ms = (t_c - t_a) * 1e3
+        stage.append([load_ms, 0.0, fused_ms, 0.0, total_ms])
+        rows.append(cam_used[f] + opts.calib_camimu_dt)
+
+    outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
+    return _outputs_to_result(
+        FrameOutput(*outs), np.asarray(rows), init.t0, np.asarray(stage)
+    )

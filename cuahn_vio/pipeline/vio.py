@@ -151,3 +151,50 @@ def run_sequence(
 
 
 run_sequence_jit = partial(jax.jit, static_argnames=("model", "cfg"))(run_sequence)
+
+
+def run_sequence_with_measurements(
+    init_state: FilterState,
+    fparams: FilterParams,
+    cfg: VioConfig,
+    z_mean8: jnp.ndarray,  # (F, 8) measurement flows, pixels
+    z_cov88: jnp.ndarray,  # (F, 8, 8) measurement covariances, px^2
+    z_valid: jnp.ndarray,  # (F,) bool: apply the update this frame
+    w_win: jnp.ndarray,
+    a_win: jnp.ndarray,
+    dt_win: jnp.ndarray,
+):
+    """Filter-only sequence with externally supplied measurements.
+
+    Used by the oracle end-to-end tests (ground-truth homography flows in
+    place of the network) and by offline smoothing experiments. Same
+    propagate -> update -> reset cycle as vio_step.
+    """
+
+    def step(carry: VioCarry, xs):
+        z, r, valid, w, a, dts = xs
+        state = propagate_window(carry.state, fparams, w, a, dts)
+        gate = jnp.logical_and(valid, carry.frame_idx > cfg.update_gate_frames)
+        state = jax.lax.cond(
+            gate,
+            lambda s: hnet_update(s, fparams, z, r, update_offset=False),
+            lambda s: s,
+            state,
+        )
+        rot = quat_to_rot(state.q)
+        out = FrameOutput(
+            p_world=rot @ state.p,
+            q=state.q,
+            v_body=state.v,
+            cov_pose=state.cov[:6, :6],
+            net_mean=z,
+            net_cov_tr=jnp.trace(r),
+        )
+        state = reset_4pt_offset(state)
+        return VioCarry(state=state, frame_idx=carry.frame_idx + 1), out
+
+    carry0 = VioCarry(state=init_state, frame_idx=jnp.zeros((), jnp.int32))
+    carry, outs = jax.lax.scan(
+        step, carry0, (z_mean8, z_cov88, z_valid, w_win, a_win, dt_win)
+    )
+    return carry.state, outs
