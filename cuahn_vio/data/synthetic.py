@@ -98,13 +98,13 @@ class AnalyticTrajectory:
         return rot.T @ p_w, q, rot.T @ v_w
 
 
-def ground_texture(xy: jnp.ndarray, seed: int = 0, n_waves: int = 24) -> jnp.ndarray:
+def ground_texture(xy: jnp.ndarray, key: jax.Array, n_waves: int = 24) -> jnp.ndarray:
     """Smooth procedural grayscale texture in [0, 1] at world (x, y) points.
 
     Sum of random sinusoids at mixed spatial frequencies — enough structure
-    for photometric alignment at every cascade scale.
+    for photometric alignment at every cascade scale. ``key`` selects the
+    texture (traced, so training can draw a fresh ground per sample).
     """
-    key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
     freqs = jax.random.uniform(k1, (n_waves, 2), minval=0.5, maxval=14.0)
     signs = jnp.sign(jax.random.normal(k3, (n_waves, 2)))
@@ -116,15 +116,15 @@ def ground_texture(xy: jnp.ndarray, seed: int = 0, n_waves: int = 24) -> jnp.nda
     return 0.5 + 0.5 * val
 
 
-@partial(jax.jit, static_argnames=("height", "width", "seed"))
+@partial(jax.jit, static_argnames=("height", "width"))
 def render_frame(
     p_w: jnp.ndarray,
     q_i2w: jnp.ndarray,
     c_rot_i: jnp.ndarray,
     i_t_i2c: jnp.ndarray,
+    texture_key: jax.Array | None = None,
     height: int = 224,
     width: int = 320,
-    seed: int = 0,
 ) -> jnp.ndarray:
     """Render the virtual camera's view of the textured ground plane.
 
@@ -150,7 +150,9 @@ def render_frame(
     lam = -cam_center[2] / d_w[..., 2]
     valid = lam > 0
     ground = cam_center[None, None, :2] + lam[..., None] * d_w[..., :2]
-    tex = ground_texture(ground, seed=seed)
+    if texture_key is None:
+        texture_key = jax.random.PRNGKey(0)
+    tex = ground_texture(ground, texture_key)
     return jnp.where(valid, tex, 0.0).astype(jnp.float32)
 
 
@@ -223,8 +225,9 @@ def make_sequence(
     p_cams, q_cams = pose_fn(jnp.array(cam_t - t_still, jnp.float32))
 
     frames = np.zeros((len(cam_t), 224, 320), np.uint8)
+    tex_key = jax.random.PRNGKey(texture_seed)
     render = jax.jit(
-        lambda p, q: render_frame(p, q, c_rot_i, i_t_i2c, seed=texture_seed)
+        lambda p, q: render_frame(p, q, c_rot_i, i_t_i2c, tex_key)
     )
     for i in range(len(cam_t)):
         img = np.asarray(render(p_cams[i], q_cams[i]))

