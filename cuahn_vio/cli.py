@@ -267,6 +267,7 @@ def cmd_train_uahn(args):
         model, params, c_rot_i, i_t_i2c,
         TrainConfig(batch_size=args.batch_size, lr=args.lr),
         steps=args.steps, seed=args.seed,
+        checkpoint_path=args.out, save_every=args.save_every,
     )
     save_params(args.out, params)
     print(f"wrote weights -> {args.out}")
@@ -335,6 +336,7 @@ def main(argv=None):
     s.add_argument("--batch-size", type=int, default=16)
     s.add_argument("--lr", type=float, default=2e-4)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--save-every", type=int, default=250)
     s.add_argument("--config", default=None)
     s.set_defaults(fn=cmd_train_uahn)
 

@@ -19,4 +19,5 @@ from cuahn_vio.ops.warp import (  # noqa: F401
     pixel_grid_uv1,
     bilinear_sample,
     homography_warp,
+    homography_warp_mm,
 )

@@ -100,3 +100,39 @@ def homography_warp(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     u = (uvz[0] / z).reshape(hgt, wid)
     v = (uvz[1] / z).reshape(hgt, wid)
     return bilinear_sample(img, u, v)
+
+
+def homography_warp_mm(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
+    """TPU-fast homography warp: bilinear sampling as MXU matmuls.
+
+    Identical semantics to ``homography_warp`` (torch grid_sample bilinear /
+    zeros / align_corners=True), but instead of per-pixel gathers — which
+    XLA serializes into scalar loads on TPU — the bilinear kernel is written
+    as separable hat-function weights and contracted on the MXU:
+
+        out[p] = Σ_s Σ_t relu(1-|sv_p - s|) · relu(1-|su_p - t|) · img[s, t]
+               = Wv[p, :] @ img @ Wu[p, :]
+
+    Wv (P, H) and Wu (P, W) have ≤2 nonzeros per row; the dense contraction
+    "wastes" FLOPs (≈10 GFLOP at 224x320) but the MXU does it in ~0.1 ms —
+    an order of magnitude faster than the gather path. Out-of-image taps get
+    zero weight automatically (hat support), reproducing zeros padding.
+    """
+    hgt, wid = img.shape
+    dtype = img.dtype
+    grid = pixel_grid_uv1(hgt, wid, dtype=dtype)
+    uvz = jnp.matmul(
+        h_uv.astype(dtype), grid, precision=jax.lax.Precision.HIGHEST
+    )
+    z = uvz[2]
+    su = jnp.clip(uvz[0] / z, -1e4, 1e4)  # (P,)
+    sv = jnp.clip(uvz[1] / z, -1e4, 1e4)
+
+    s_idx = jnp.arange(hgt, dtype=dtype)
+    t_idx = jnp.arange(wid, dtype=dtype)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(sv[:, None] - s_idx[None, :]))  # (P, H)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(su[:, None] - t_idx[None, :]))  # (P, W)
+
+    m = jnp.matmul(wv, img, precision=jax.lax.Precision.HIGHEST)  # (P, W)
+    out = jnp.sum(m * wu, axis=-1)
+    return out.reshape(hgt, wid)

@@ -172,8 +172,11 @@ def train(
     height: int = 224,
     width: int = 320,
     log_fn=print,
+    checkpoint_path: Optional[str] = None,
+    save_every: int = 500,
 ):
-    """Run the training loop; returns trained params."""
+    """Run the training loop; returns trained params. Saves intermediate
+    checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
     tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
     step_fn = make_train_step(model, cfg, tx)
@@ -193,6 +196,11 @@ def train(
             log_fn(
                 f"step {i:5d} loss {float(loss):.4f} "
                 f"cascade {float(l_c):.4f} mean {float(l_m):.4f} nll {float(l_n):.4f}"
-                f" prior={use_prior}"
+                f" prior={use_prior}",
+                flush=True,
             )
+        if checkpoint_path and save_every and i and i % save_every == 0:
+            from cuahn_vio.utils.checkpoint import save_params
+
+            save_params(checkpoint_path, params)
     return params

@@ -88,3 +88,18 @@ def test_virtual_cam_constants():
     np.testing.assert_allclose(np.asarray(k_inv) @ k, np.eye(3), atol=1e-6)
     # the normalized corner constant used by the filter (State.h:110-113)
     np.testing.assert_allclose(111.5 / 159.5, 0.69906, atol=1e-5)
+
+
+def test_warp_mm_matches_gather(rng):
+    """The MXU-matmul warp must be numerically identical to the gather
+    formulation (and hence to torch grid_sample)."""
+    from cuahn_vio.ops import homography_warp_mm
+
+    img = rng.random((H, W)).astype(np.float32)
+    src = corner_points(H, W)
+    for scale in (0.0, 5.0, 35.0):
+        dst = src + jnp.array(rng.normal(size=(4, 2)) * scale, jnp.float32)
+        h_mtrx = dlt_solve(src, dst)
+        a = np.asarray(homography_warp(jnp.array(img), h_mtrx))
+        b = np.asarray(homography_warp_mm(jnp.array(img), h_mtrx))
+        np.testing.assert_allclose(b, a, atol=3e-4)
