@@ -40,6 +40,10 @@ class TrainConfig:
     batch_size: int = 16
     lr: float = 2e-4
     weight_decay: float = 1e-5
+    grad_clip: float = 1.0
+    warmup_steps: int = 200
+    huber_delta: float = 5.0  # px; caps outlier gradients early in training
+    logvar_clip: float = 6.0
     nll_weight: float = 0.3
     prior_prob: float = 0.5  # fraction of samples trained in prior mode
     prior_noise_px: float = 3.0  # noise on the simulated EKF prior
@@ -106,6 +110,11 @@ def _warped_frame_gt(h_part1, gt_flow, corners):
     return m[:, :2] / m[:, 2:3] - corners  # (4, 2)
 
 
+def _huber(err, delta):
+    a = jnp.abs(err)
+    return jnp.where(a <= delta, 0.5 * err * err, delta * (a - 0.5 * delta))
+
+
 def make_loss_fn(model: UAHN, cfg: TrainConfig):
     corners = model.corners
 
@@ -115,7 +124,11 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
             prior if use_prior else None, use_prior,
             method=UAHN.cascade_flows,
         )
-        l_cascade = jnp.mean(jnp.square(flows - gt_flow[None, :])) if flows.shape[0] else 0.0
+        l_cascade = (
+            jnp.mean(_huber(flows - gt_flow[None, :], cfg.huber_delta))
+            if flows.shape[0]
+            else 0.0
+        )
 
         h1 = jax.lax.stop_gradient(h1)
         means, logvars = model.apply(
@@ -123,12 +136,13 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
             method=UAHN.last_block_members,
             rngs={"dropout": key},
         )
+        logvars = jnp.clip(logvars, -cfg.logvar_clip, cfg.logvar_clip)
         gt_resid = _warped_frame_gt(h1, gt_flow, corners)  # (4, 2)
-        err2 = jnp.square(means - gt_resid[None])  # (16, 4, 2)
-        l_mean = jnp.mean(err2)
-        l_nll = jnp.mean(
-            0.5 * (logvars + err2 / jnp.exp(logvars))
-        )
+        err = means - gt_resid[None]  # (16, 4, 2)
+        l_mean = jnp.mean(_huber(err, cfg.huber_delta))
+        # NLL on the huberized residual so one outlier can't blow var head
+        err2 = jnp.square(jnp.clip(err, -3 * cfg.huber_delta, 3 * cfg.huber_delta))
+        l_nll = jnp.mean(0.5 * (logvars + err2 / jnp.exp(logvars)))
         return l_cascade + l_mean + cfg.nll_weight * l_nll, (
             l_cascade, l_mean, l_nll,
         )
@@ -140,7 +154,13 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
                 params, i1, i2, g, pr, use_prior, k
             )
         )(batch.img1, batch.img2, batch.gt_flow, batch.prior, keys)
-        return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+        # a degenerate sample (singular DLT) must not poison the batch
+        finite = jnp.isfinite(losses)
+        losses = jnp.where(finite, losses, 0.0)
+        denom = jnp.maximum(jnp.sum(finite), 1)
+        return jnp.sum(losses) / denom, jax.tree.map(
+            lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)) / denom, aux
+        )
 
     return loss_fn
 
@@ -177,7 +197,12 @@ def train(
 ):
     """Run the training loop; returns trained params. Saves intermediate
     checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    sched = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    tx = optax.chain(
+        optax.zero_nans(),  # a rare singular-DLT sample must not end the run
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, weight_decay=cfg.weight_decay),
+    )
     opt_state = tx.init(params)
     step_fn = make_train_step(model, cfg, tx)
     gen = jax.jit(
