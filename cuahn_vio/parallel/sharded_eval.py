@@ -74,7 +74,7 @@ def _psum_sq(err, axis):
 def aggregate_rmse(err_by_seq: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Cross-device RMSE of per-frame errors via psum over the 'seq' axis —
     the collective replacing ROS-topic metric fan-in."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_total = err_by_seq.size
 
