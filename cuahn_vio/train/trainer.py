@@ -165,6 +165,39 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
     return loss_fn
 
 
+def _zero_nonfinite() -> optax.GradientTransformation:
+    """Replace NaN AND inf gradient entries with 0.
+
+    optax.zero_nans passes inf through; clip_by_global_norm then computes
+    inf * 0 = NaN, which permanently poisons Adam's moments — the failure
+    mode that killed early training runs on rare degenerate (singular-DLT)
+    samples."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg: TrainConfig, sched) -> optax.GradientTransformation:
+    return optax.apply_if_finite(
+        optax.chain(
+            _zero_nonfinite(),
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(sched, weight_decay=cfg.weight_decay),
+        ),
+        max_consecutive_errors=10000,
+    )
+
+
 def make_train_step(model: UAHN, cfg: TrainConfig, tx: optax.GradientTransformation):
     loss_fn = make_loss_fn(model, cfg)
 
@@ -198,11 +231,7 @@ def train(
     """Run the training loop; returns trained params. Saves intermediate
     checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
     sched = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
-    tx = optax.chain(
-        optax.zero_nans(),  # a rare singular-DLT sample must not end the run
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(sched, weight_decay=cfg.weight_decay),
-    )
+    tx = make_optimizer(cfg, sched)
     opt_state = tx.init(params)
     step_fn = make_train_step(model, cfg, tx)
     gen = jax.jit(
@@ -218,10 +247,11 @@ def train(
         )
         if log_every and (i % log_every == 0 or i == steps - 1):
             l_c, l_m, l_n = jax.device_get(aux)
+            skipped = int(getattr(opt_state, "notfinite_count", 0))
             log_fn(
                 f"step {i:5d} loss {float(loss):.4f} "
                 f"cascade {float(l_c):.4f} mean {float(l_m):.4f} nll {float(l_n):.4f}"
-                f" prior={use_prior}",
+                f" prior={use_prior} skipped={skipped}",
                 flush=True,
             )
         if checkpoint_path and save_every and i and i % save_every == 0:
