@@ -22,6 +22,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -166,6 +167,140 @@ def cmd_timing_percentages(args):
         )
 
 
+# ------------------------------------------------------------ timing/sim
+def cmd_timing_flamegraph(args):
+    """Stacked per-stage timing over the run (timing_flamegraph.cpp
+    analog): stages as stacked areas against frame timestamp."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cuahn_vio.eval import load_timing_file
+
+    names = ["load_img", "propagation", "network", "ekf_update"]
+    t, stages = load_timing_file(args.file)
+    t = t - t[0]
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.stackplot(t, [stages[:, i] for i in range(4)], labels=names, alpha=0.85)
+    ax.plot(t, stages[:, 4], "k-", lw=0.6, label="total")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("ms / frame")
+    ax.legend(loc="upper right", fontsize=8)
+    ax.grid(True, alpha=0.3)
+    fig.savefig(args.out, dpi=130, bbox_inches="tight")
+    print(f"wrote {args.out}")
+
+
+def cmd_timing_comparison(args):
+    """Side-by-side stage statistics for several runs
+    (timing_comparison.cpp analog)."""
+    from cuahn_vio.eval import load_timing_file
+
+    names = ["load_img", "propagation", "network", "ekf_update", "total"]
+    print(f"{'run':30s} " + " ".join(f"{n:>12s}" for n in names))
+    for path in args.files:
+        _, stages = load_timing_file(path)
+        means = stages.mean(axis=0)
+        print(
+            f"{os.path.basename(path)[:30]:30s} "
+            + " ".join(f"{m:9.3f} ms" for m in means)
+        )
+        p95 = np.percentile(stages, 95, axis=0)
+        print(f"{'  (p95)':30s} " + " ".join(f"{m:9.3f} ms" for m in p95))
+
+
+def cmd_align_trajectory(args):
+    """Associate + align GT onto the estimate frame and write the aligned
+    GT file (live_align_trajectory.cpp:38-137 analog, offline)."""
+    from cuahn_vio.eval import load_pose_file, save_pose_file
+    from cuahn_vio.eval.align import (
+        align_trajectory,
+        associate_indices,
+        jpl_quat_to_rot,
+        jpl_rot_to_quat,
+    )
+
+    est = load_pose_file(args.est)
+    gt = load_pose_file(args.gt)
+    ie, ig = associate_indices(est.times, gt.times)
+    if len(ie) == 0:
+        raise SystemExit("no overlapping timestamps")
+    # rotate/translate GT into the estimate frame: est ~ R @ gt + t
+    r, t, s = align_trajectory(gt.poses[ig], est.poses[ie], method=args.method)
+    poses = gt.poses.copy()
+    poses[:, :3] = s * (r @ gt.poses[:, :3].T).T + t
+    for i in range(len(poses)):
+        rot = jpl_quat_to_rot(gt.poses[i, 3:7]).T  # body->world
+        poses[i, 3:7] = jpl_rot_to_quat((r @ rot).T)
+    save_pose_file(args.out, gt.times, poses)
+    print(f"aligned {len(ie)} matched poses ({args.method}) -> {args.out}")
+
+
+def cmd_error_simulation(args):
+    """State/bias errors + NEES against simulator ground truth
+    (error_simulation.cpp / ResultSimulation analog)."""
+    from cuahn_vio.eval.simulation import ResultSimulation, load_state_gt
+
+    d = np.load(args.est)
+    gt = load_state_gt(args.gt)
+    sim = ResultSimulation(
+        d["times"], d["pose"], gt,
+        est_v_body=d.get("v_body"), est_ba=d.get("ba"), est_bg=d.get("bg"),
+        est_cov_diag=d.get("cov_diag"),
+    )
+    summary = sim.summary()
+    print(f"matched {len(sim.times)} est/gt pairs")
+    for k, v in summary.items():
+        print(f"  {k:10s} {v:.6f}")
+    if sim.cov is not None:
+        neo, nep = sim.calculate_nees()
+        print(f"  NEES ori  mean {neo.mean:.3f} (target ~3)")
+        print(f"  NEES pos  mean {nep.mean:.3f} (target ~3)")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        blocks = [
+            ("position (m)", sim.error_position()),
+            ("orientation (rad)", sim.error_orientation()),
+            ("velocity (m/s)", sim.error_velocity()),
+            ("accel bias", sim.error_bias_accel()),
+            ("gyro bias", sim.error_bias_gyro()),
+        ]
+        blocks = [(n, e) for n, e in blocks if e is not None]
+        fig, axes = plt.subplots(
+            len(blocks), 3, figsize=(12, 2.2 * len(blocks)), squeeze=False
+        )
+        for bi, (name, es) in enumerate(blocks):
+            for ax_i in range(3):
+                ax = axes[bi][ax_i]
+                ax.plot(es.times - es.times[0], es.err[:, ax_i], lw=0.7)
+                if es.bound3 is not None:
+                    ax.plot(es.times - es.times[0], es.bound3[:, ax_i], "r--", lw=0.6)
+                    ax.plot(es.times - es.times[0], -es.bound3[:, ax_i], "r--", lw=0.6)
+                if ax_i == 0:
+                    ax.set_ylabel(name, fontsize=8)
+                ax.grid(True, alpha=0.3)
+        fig.savefig(args.plot, dpi=130, bbox_inches="tight")
+        print(f"wrote {args.plot}")
+
+
+def cmd_pid_monitor(args):
+    """Sample CPU%/RSS of a process (ov_eval/python/pid_sys.py analog)."""
+    import json as _json
+
+    from cuahn_vio.eval.recorder import ResourceMonitor
+
+    mon = ResourceMonitor(pid=args.pid, interval=args.interval).start()
+    try:
+        time.sleep(args.duration)
+    finally:
+        print(_json.dumps(mon.stop()))
+
+
 # ---------------------------------------------------------------------- vio
 def cmd_run_vio(args):
     import jax
@@ -211,11 +346,19 @@ def cmd_run_vio(args):
     if args.timing_out and res.stage_ms is not None:
         save_timing_file(args.timing_out, res.times, res.stage_ms)
         print(f"wrote timing -> {args.timing_out}")
+    if args.state_out:
+        np.savez_compressed(
+            args.state_out,
+            times=res.times, pose=res.pose_w, v_body=res.v_body,
+            ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
+        )
+        print(f"wrote full state -> {args.state_out}")
 
 
 def cmd_make_synthetic(args):
     from cuahn_vio.data.synthetic import AnalyticTrajectory, make_sequence
     from cuahn_vio.eval import save_pose_file
+    from cuahn_vio.eval.simulation import StateGT, save_state_gt
     from cuahn_vio.utils.config import VioOptions
 
     opts = (
@@ -223,7 +366,14 @@ def cmd_make_synthetic(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
-    traj = AnalyticTrajectory()
+    if args.traj_file:
+        from cuahn_vio.data.bspline import SplineTrajectory
+
+        traj = SplineTrajectory.from_trajectory_file(
+            args.traj_file, dt=args.spline_dt
+        )
+    else:
+        traj = AnalyticTrajectory()
     seq = make_sequence(
         traj,
         np.asarray(opts.t_imu_to_cam),
@@ -242,7 +392,16 @@ def cmd_make_synthetic(args):
     )
     gt_path = os.path.splitext(args.out)[0] + "_gt.txt"
     save_pose_file(gt_path, seq.gt_times, seq.gt_pose_w)
-    print(f"wrote {args.out} and {gt_path}")
+    state_gt_path = os.path.splitext(args.out)[0] + "_state_gt.txt"
+    n = len(seq.gt_times)
+    save_state_gt(
+        state_gt_path,
+        StateGT(
+            times=seq.gt_times, pose=seq.gt_pose_w, vel=seq.gt_vel_w,
+            bg=np.tile(seq.true_bg, (n, 1)), ba=np.tile(seq.true_ba, (n, 1)),
+        ),
+    )
+    print(f"wrote {args.out}, {gt_path} and {state_gt_path}")
 
 
 def cmd_train_uahn(args):
@@ -310,12 +469,43 @@ def main(argv=None):
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_timing_percentages)
 
+    s = sub.add_parser("timing-flamegraph", help="stacked stage-time plot")
+    s.add_argument("file")
+    s.add_argument("--out", default="timing_flamegraph.png")
+    s.set_defaults(fn=cmd_timing_flamegraph)
+
+    s = sub.add_parser("timing-comparison", help="stage stats across runs")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_timing_comparison)
+
+    s = sub.add_parser("align-trajectory", help="write GT aligned to an estimate")
+    s.add_argument("gt")
+    s.add_argument("est")
+    s.add_argument("--method", default="posyaw",
+                   choices=["posyaw", "se3", "sim3", "none"])
+    s.add_argument("--out", default="aligned_gt.txt")
+    s.set_defaults(fn=cmd_align_trajectory)
+
+    s = sub.add_parser("error-simulation", help="state/bias errors + NEES vs sim GT")
+    s.add_argument("est", help="state .npz from run-vio --state-out")
+    s.add_argument("gt", help="17-column sim state GT txt")
+    s.add_argument("--plot", default=None, help="write error/3-sigma plot PNG")
+    s.set_defaults(fn=cmd_error_simulation)
+
+    s = sub.add_parser("pid-monitor", help="CPU/RSS monitor for a process")
+    s.add_argument("pid", type=int)
+    s.add_argument("--duration", type=float, default=10.0)
+    s.add_argument("--interval", type=float, default=0.25)
+    s.set_defaults(fn=cmd_pid_monitor)
+
     s = sub.add_parser("run-vio", help="run the VIO on a sequence")
     s.add_argument("sequence", help=".npz with imu_t/imu_w/imu_a/cam_t/frames")
     s.add_argument("--config", default=None)
     s.add_argument("--weights", default=None)
     s.add_argument("--out", default="stamped_traj_estimate.txt")
     s.add_argument("--timing-out", default=None)
+    s.add_argument("--state-out", default=None,
+                   help=".npz with v/biases/cov diag for error-simulation")
     s.add_argument("--no-network", action="store_true", help="dead reckoning")
     s.set_defaults(fn=cmd_run_vio)
 
@@ -328,6 +518,9 @@ def main(argv=None):
     s.add_argument("--bias-g", type=float, default=0.0)
     s.add_argument("--bias-a", type=float, default=0.0)
     s.add_argument("--config", default=None)
+    s.add_argument("--traj-file", default=None,
+                   help="drive a B-spline from a '# t x y z qx qy qz qw' txt")
+    s.add_argument("--spline-dt", type=float, default=0.5)
     s.set_defaults(fn=cmd_make_synthetic)
 
     s = sub.add_parser("train-uahn", help="train network weights from scratch")

@@ -164,6 +164,7 @@ class SyntheticSequence(NamedTuple):
     frames: np.ndarray  # (F, H, W) uint8
     gt_times: np.ndarray  # (N,)
     gt_pose_w: np.ndarray  # (N, 7) [x y z qx qy qz qw] world frame
+    gt_vel_w: np.ndarray  # (N, 3) world-frame velocity
     true_bg: np.ndarray
     true_ba: np.ndarray
 
@@ -234,10 +235,16 @@ def make_sequence(
         frames[i] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
     # GT at IMU rate, world frame, file convention [x y z qx qy qz qw]
-    gt_fn = jax.jit(jax.vmap(lambda t: (traj.pos_w(t), traj.quat_i2w(t))))
-    p_all, q_all = gt_fn(jnp.array(shifted, jnp.float32))
+    gt_fn = jax.jit(
+        jax.vmap(
+            lambda t: (traj.pos_w(t), traj.quat_i2w(t), jax.jacfwd(traj.pos_w)(t))
+        )
+    )
+    p_all, q_all, v_all = gt_fn(jnp.array(shifted, jnp.float32))
     p_all = np.asarray(p_all)
     q_all = np.asarray(q_all)  # wxyz
+    v_all = np.asarray(v_all, np.float64)
+    v_all[still] = 0.0
     gt_pose = np.concatenate([p_all, q_all[:, [1, 2, 3, 0]]], axis=1)
 
     return SyntheticSequence(
@@ -248,6 +255,7 @@ def make_sequence(
         frames=frames,
         gt_times=imu_t,
         gt_pose_w=gt_pose,
+        gt_vel_w=v_all,
         true_bg=bg,
         true_ba=ba,
     )

@@ -12,6 +12,14 @@ from cuahn_vio.eval.align import (  # noqa: F401
     align_umeyama,
     apply_alignment,
     associate,
+    associate_indices,
     get_best_yaw,
 )
 from cuahn_vio.eval.metrics import ResultTrajectory, Statistics  # noqa: F401
+from cuahn_vio.eval.recorder import Recorder, ResourceMonitor  # noqa: F401
+from cuahn_vio.eval.simulation import (  # noqa: F401
+    ResultSimulation,
+    StateGT,
+    load_state_gt,
+    save_state_gt,
+)

@@ -93,6 +93,35 @@ def rot_z(t: float) -> np.ndarray:
 
 
 # ------------------------------------------------------------- association
+def associate_indices(
+    est_times, gt_times, offset: float = 0.0, max_difference: float = 0.02
+):
+    """Greedy injective timestamp association returning index pairs
+    (same algorithm as ``associate``, AlignUtils.cpp:93-186) — used when
+    the caller needs to gather auxiliary per-row arrays (velocity, biases,
+    covariance diagonals) beyond poses."""
+    ie, ig = [], []
+    gt_ptr = 0
+    n_gt = len(gt_times)
+    for i in range(len(est_times)):
+        target = est_times[i] + offset
+        best_diff, best_idx = max_difference, -1
+        while gt_ptr < n_gt and gt_times[gt_ptr] < target and abs(
+            gt_times[gt_ptr] - target
+        ) > max_difference:
+            gt_ptr += 1
+        while gt_ptr < n_gt and abs(gt_times[gt_ptr] - target) <= max_difference:
+            d = abs(gt_times[gt_ptr] - target)
+            if d >= best_diff:
+                break
+            best_diff, best_idx = d, gt_ptr
+            gt_ptr += 1
+        if best_idx != -1:
+            ie.append(i)
+            ig.append(best_idx)
+    return np.asarray(ie, np.int64), np.asarray(ig, np.int64)
+
+
 def associate(
     est_times, gt_times, est_poses, gt_poses,
     offset: float = 0.0, max_difference: float = 0.02,

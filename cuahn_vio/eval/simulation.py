@@ -1,0 +1,187 @@
+"""Simulation-truth evaluation: state/bias errors with 3-sigma bounds + NEES.
+
+Rebuilds ov_eval's ResultSimulation (cuahn_ros/ov_eval/src/calc/
+ResultSimulation.{h,cpp}): compare an estimated run against *simulator*
+ground truth — which, unlike dataset GT, includes velocity and the true IMU
+biases — and report per-axis error series with the filter's own 3-sigma
+bounds, plus pose NEES. The reference consumes a 17-column sim GT file
+(dataset_reader.h:61: t q(xyzw) p v bg ba); we keep that exact schema so
+files interoperate.
+
+Errors are computed in the robocentric frame the filter estimates in
+(State.h:51: p, v expressed in the current IMU frame), so the covariance
+diagonal is directly the error variance — no alignment step is needed or
+performed (ResultSimulation likewise runs alignment 'none').
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from cuahn_vio.eval.align import associate_indices, log_so3
+from cuahn_vio.eval.metrics import Statistics, _pose_to_T
+
+
+class StateGT(NamedTuple):
+    times: np.ndarray  # (N,)
+    pose: np.ndarray  # (N, 7) [x y z qx qy qz qw], world frame
+    vel: np.ndarray  # (N, 3) world-frame velocity
+    bg: np.ndarray  # (N, 3) true gyro bias
+    ba: np.ndarray  # (N, 3) true accel bias
+
+
+def save_state_gt(path: str, gt: StateGT) -> None:
+    """Write the 17-column simulator GT format (dataset_reader.h:61)."""
+    with open(path, "w") as f:
+        f.write("# t qx qy qz qw px py pz vx vy vz bwx bwy bwz bax bay baz\n")
+        for i in range(len(gt.times)):
+            q = gt.pose[i, 3:7]
+            p = gt.pose[i, 0:3]
+            row = np.concatenate([[gt.times[i]], q, p, gt.vel[i], gt.bg[i], gt.ba[i]])
+            f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+
+def load_state_gt(path: str) -> StateGT:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            rows.append([float(x) for x in line.split()])
+    arr = np.asarray(rows)
+    if arr.shape[1] < 17:
+        raise ValueError(f"{path}: expected 17 columns, got {arr.shape[1]}")
+    return StateGT(
+        times=arr[:, 0],
+        pose=np.concatenate([arr[:, 5:8], arr[:, 1:5]], axis=1),
+        vel=arr[:, 8:11],
+        bg=arr[:, 11:14],
+        ba=arr[:, 14:17],
+    )
+
+
+class ErrorSeries(NamedTuple):
+    times: np.ndarray  # (M,)
+    err: np.ndarray  # (M, 3) per-axis error
+    bound3: Optional[np.ndarray]  # (M, 3) 3-sigma bound or None
+
+
+class ResultSimulation:
+    """Associate an estimate with simulator GT and compute state errors.
+
+    Args:
+        est_times/est_pose: world-frame estimate ([x y z qx qy qz qw]).
+        gt: StateGT (world frame).
+        est_v_body, est_ba, est_bg: optional (M, 3) estimated series.
+        est_cov_diag: optional (M, 15) error-state covariance diagonal in
+            the filter's [p(3) th(3) v(3) ba(3) bg(3)] robocentric order
+            (State.h:84 id layout).
+        tol: association tolerance, seconds (AlignUtils.cpp:93 default).
+    """
+
+    def __init__(
+        self,
+        est_times: np.ndarray,
+        est_pose: np.ndarray,
+        gt: StateGT,
+        est_v_body: Optional[np.ndarray] = None,
+        est_ba: Optional[np.ndarray] = None,
+        est_bg: Optional[np.ndarray] = None,
+        est_cov_diag: Optional[np.ndarray] = None,
+        tol: float = 0.02,
+    ):
+        ie, ig = associate_indices(est_times, gt.times, 0.0, tol)
+        if len(ie) == 0:
+            raise ValueError("no associated est/gt pairs")
+        self.times = est_times[ie]
+        self.est_pose = est_pose[ie]
+        self.gt_pose = gt.pose[ig]
+        self.gt_vel = gt.vel[ig]
+        self.gt_bg = gt.bg[ig]
+        self.gt_ba = gt.ba[ig]
+        self.est_v = None if est_v_body is None else est_v_body[ie]
+        self.est_ba = None if est_ba is None else est_ba[ie]
+        self.est_bg = None if est_bg is None else est_bg[ie]
+        self.cov = None if est_cov_diag is None else est_cov_diag[ie]
+
+        # rotations (body->world) for frame conversions
+        self._r_est = np.stack([_pose_to_T(p)[:3, :3] for p in self.est_pose])
+        self._r_gt = np.stack([_pose_to_T(p)[:3, :3] for p in self.gt_pose])
+
+    def _bound(self, sl) -> Optional[np.ndarray]:
+        if self.cov is None:
+            return None
+        return 3.0 * np.sqrt(np.maximum(self.cov[:, sl], 0.0))
+
+    def error_position(self) -> ErrorSeries:
+        """Robocentric position error: R^T p_w, est minus GT (matches the
+        filter's p state and its covariance block, rows 0-2)."""
+        p_est = np.einsum("nij,nj->ni", self._r_est.transpose(0, 2, 1), self.est_pose[:, :3])
+        p_gt = np.einsum("nij,nj->ni", self._r_gt.transpose(0, 2, 1), self.gt_pose[:, :3])
+        return ErrorSeries(self.times, p_est - p_gt, self._bound(slice(0, 3)))
+
+    def error_orientation(self) -> ErrorSeries:
+        """so(3) log of R_est R_gt^T, radians (covariance rows 3-5)."""
+        err = np.stack(
+            [log_so3(self._r_est[i] @ self._r_gt[i].T) for i in range(len(self.times))]
+        )
+        return ErrorSeries(self.times, err, self._bound(slice(3, 6)))
+
+    def error_velocity(self) -> Optional[ErrorSeries]:
+        """Body-frame velocity error (covariance rows 6-8)."""
+        if self.est_v is None:
+            return None
+        v_gt_body = np.einsum(
+            "nij,nj->ni", self._r_gt.transpose(0, 2, 1), self.gt_vel
+        )
+        return ErrorSeries(self.times, self.est_v - v_gt_body, self._bound(slice(6, 9)))
+
+    def error_bias_accel(self) -> Optional[ErrorSeries]:
+        if self.est_ba is None:
+            return None
+        return ErrorSeries(self.times, self.est_ba - self.gt_ba, self._bound(slice(9, 12)))
+
+    def error_bias_gyro(self) -> Optional[ErrorSeries]:
+        if self.est_bg is None:
+            return None
+        return ErrorSeries(self.times, self.est_bg - self.gt_bg, self._bound(slice(12, 15)))
+
+    def calculate_nees(self):
+        """Average normalized estimation error squared for position and
+        orientation, using the diagonal covariance (ResultSimulation
+        plots NEES per timestep; consistency target is ~3 per 3-dof block)."""
+        if self.cov is None:
+            raise ValueError("NEES requires est_cov_diag")
+        stats_p, stats_o = Statistics(), Statistics()
+        ep = self.error_position().err
+        eo = self.error_orientation().err
+        var_p = np.maximum(self.cov[:, 0:3], 1e-20)
+        var_o = np.maximum(self.cov[:, 3:6], 1e-20)
+        for i in range(len(self.times)):
+            stats_p.add(self.times[i], float(np.sum(ep[i] ** 2 / var_p[i])))
+            stats_o.add(self.times[i], float(np.sum(eo[i] ** 2 / var_o[i])))
+        stats_p.calculate()
+        stats_o.calculate()
+        return stats_o, stats_p
+
+    def summary(self) -> dict:
+        """rmse per state block (meters / rad / m/s / biases)."""
+        out = {}
+
+        def rmse(e):
+            return float(np.sqrt(np.mean(np.sum(e**2, axis=1))))
+
+        out["pos_rmse"] = rmse(self.error_position().err)
+        out["ori_rmse"] = rmse(self.error_orientation().err)
+        ev = self.error_velocity()
+        if ev is not None:
+            out["vel_rmse"] = rmse(ev.err)
+        eba = self.error_bias_accel()
+        if eba is not None:
+            out["ba_rmse"] = rmse(eba.err)
+        ebg = self.error_bias_gyro()
+        if ebg is not None:
+            out["bg_rmse"] = rmse(ebg.err)
+        return out

@@ -53,6 +53,10 @@ class RunResult(NamedTuple):
     cov_pos: np.ndarray  # (F, 3, 3)
     t0: float
     stage_ms: Optional[np.ndarray]  # (F, 5) timing rows or None
+    v_body: Optional[np.ndarray] = None  # (F, 3) velocity, IMU frame
+    ba: Optional[np.ndarray] = None  # (F, 3) accel bias estimate
+    bg: Optional[np.ndarray] = None  # (F, 3) gyro bias estimate
+    cov_diag: Optional[np.ndarray] = None  # (F, 15) core cov diagonal
 
 
 def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
@@ -88,6 +92,10 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
         cov_pos=cov[:, 0:3, 0:3],
         t0=t0,
         stage_ms=stage_ms,
+        v_body=np.asarray(out.v_body),
+        ba=np.asarray(out.ba),
+        bg=np.asarray(out.bg),
+        cov_diag=np.asarray(out.cov_diag),
     )
 
 

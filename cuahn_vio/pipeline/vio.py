@@ -55,6 +55,9 @@ class FrameOutput(NamedTuple):
     cov_pose: jnp.ndarray  # (6, 6) [p; theta] covariance block
     net_mean: jnp.ndarray  # (8,) last network flow (px), for diagnostics
     net_cov_tr: jnp.ndarray  # () trace of net covariance (px^2)
+    ba: jnp.ndarray  # (3,) accel bias estimate
+    bg: jnp.ndarray  # (3,) gyro bias estimate
+    cov_diag: jnp.ndarray  # (15,) core error-state covariance diagonal
 
 
 class VioCarry(NamedTuple):
@@ -115,6 +118,9 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
             cov_pose=state.cov[:6, :6],
             net_mean=net_mean,
             net_cov_tr=net_cov_tr,
+            ba=state.ba,
+            bg=state.bg,
+            cov_diag=jnp.diagonal(state.cov)[:15],
         )
 
         # 3. reset (VioManager.cpp:275)
@@ -189,6 +195,9 @@ def run_sequence_with_measurements(
             cov_pose=state.cov[:6, :6],
             net_mean=z,
             net_cov_tr=jnp.trace(r),
+            ba=state.ba,
+            bg=state.bg,
+            cov_diag=jnp.diagonal(state.cov)[:15],
         )
         state = reset_4pt_offset(state)
         return VioCarry(state=state, frame_idx=carry.frame_idx + 1), out

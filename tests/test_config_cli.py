@@ -122,3 +122,65 @@ def test_cli_help_and_eval(tmp_path):
         )
         assert out2.returncode == 0
         assert "27.6 fps" in out2.stdout
+
+
+def test_cli_new_eval_tools(tmp_path):
+    """timing-flamegraph/comparison, align-trajectory, error-simulation
+    CLI smoke (the ov_eval binaries they rebuild: SURVEY.md §2.5)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+
+    ref = "/root/reference/cuahn_ros/ov_data/uzh_fpv"
+    timing = os.path.join(ref, "traj_timing.txt")
+    est = os.path.join(ref, "stamped_traj_estimate.txt")
+    gt = os.path.join(ref, "indoor_45_2_snapdragon_with_gt.txt")
+    if not os.path.exists(timing):
+        pytest.skip("reference artifacts unavailable")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cuahn_vio.cli", "timing-comparison", timing],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert out.returncode == 0 and "network" in out.stdout
+
+    png = str(tmp_path / "fg.png")
+    out = subprocess.run(
+        [sys.executable, "-m", "cuahn_vio.cli",
+         "timing-flamegraph", timing, "--out", png],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert out.returncode == 0 and os.path.getsize(png) > 1000
+
+    aligned = str(tmp_path / "aligned.txt")
+    out = subprocess.run(
+        [sys.executable, "-m", "cuahn_vio.cli",
+         "align-trajectory", gt, est, "--out", aligned],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(aligned)
+
+    # error-simulation on a tiny self-consistent estimate/GT pair
+    from cuahn_vio.eval.simulation import StateGT, save_state_gt
+
+    n = 50
+    t = np.arange(n) * 0.1
+    pose = np.zeros((n, 7))
+    pose[:, 2] = 1.0
+    pose[:, 6] = 1.0
+    gt_path = str(tmp_path / "sgt.txt")
+    save_state_gt(gt_path, StateGT(t, pose, np.zeros((n, 3)),
+                                   np.zeros((n, 3)), np.zeros((n, 3))))
+    est_npz = str(tmp_path / "est.npz")
+    np.savez(est_npz, times=t, pose=pose, v_body=np.zeros((n, 3)),
+             ba=np.zeros((n, 3)), bg=np.zeros((n, 3)),
+             cov_diag=np.full((n, 15), 1e-4))
+    out = subprocess.run(
+        [sys.executable, "-m", "cuahn_vio.cli",
+         "error-simulation", est_npz, gt_path,
+         "--plot", str(tmp_path / "sim.png")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pos_rmse" in out.stdout and "NEES" in out.stdout
