@@ -316,6 +316,12 @@ def cmd_run_vio(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
+    if args.init_height is not None:
+        opts.init_height = args.init_height
+    if args.init_imu_thresh is not None:
+        opts.init_imu_thresh = args.init_imu_thresh
+    if args.calib_dt is not None:
+        opts.calib_camimu_dt = args.calib_dt
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -401,7 +407,14 @@ def cmd_make_synthetic(args):
             bg=np.tile(seq.true_bg, (n, 1)), ba=np.tile(seq.true_ba, (n, 1)),
         ),
     )
-    print(f"wrote {args.out}, {gt_path} and {state_gt_path}")
+    # a config whose init/calib knobs match this sequence (no cam-imu time
+    # offset; hover altitude as init_height; gentle motion-onset jerk)
+    opts.calib_camimu_dt = 0.0
+    opts.init_height = float(seq.gt_pose_w[0, 2])
+    opts.init_imu_thresh = 0.2
+    cfg_path = os.path.splitext(args.out)[0] + "_config.yaml"
+    opts.to_yaml(cfg_path)
+    print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
 def cmd_train_uahn(args):
@@ -507,6 +520,11 @@ def main(argv=None):
     s.add_argument("--state-out", default=None,
                    help=".npz with v/biases/cov diag for error-simulation")
     s.add_argument("--no-network", action="store_true", help="dead reckoning")
+    s.add_argument("--init-height", type=float, default=None,
+                   help="override init_height (meters over the plane; the "
+                        "launch files set this per dataset, uzhfpv.launch:66)")
+    s.add_argument("--init-imu-thresh", type=float, default=None)
+    s.add_argument("--calib-dt", type=float, default=None)
     s.set_defaults(fn=cmd_run_vio)
 
     s = sub.add_parser("make-synthetic", help="generate a synthetic sequence")

@@ -42,7 +42,7 @@ from cuahn_vio.ops.homography import (
     dlt_solve,
     transfer_mean_var,
 )
-from cuahn_vio.ops.warp import homography_warp_mm as homography_warp
+from cuahn_vio.ops.warp import homography_warp_auto as homography_warp
 
 # conv_planes / fc_input from model_to_trace.py:88-89
 CONV_PLANES = (8, 16, 32, 64, 128, 256, 256)

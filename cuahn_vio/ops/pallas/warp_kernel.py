@@ -1,0 +1,117 @@
+"""Fused Pallas TPU kernel: homography warp + bilinear sample.
+
+The hottest non-conv op in the UAHN cascade (model_to_trace.py:124-193 runs
+a warp before blocks 2-4; warp.py:60-79 is the reference implementation via
+``F.grid_sample``). A gather-based bilinear sample is the single worst op
+for TPU — XLA serializes per-pixel gathers — so the production formulation
+contracts separable hat-function weights on the MXU
+(``ops.warp.homography_warp_mm``):
+
+    out[p] = Wv[p, :] @ img @ Wu[p, :]   (Wv, Wu have <= 2 nonzeros/row)
+
+The XLA version of that materializes Wv (P, H) and the intermediate (P, W)
+in HBM — ~100 MB of traffic per 224x320 warp, making it bandwidth-bound.
+This kernel fuses weight construction + both contractions in VMEM: per grid
+step it builds the hat weights for a tile of output pixels in scratch,
+runs the (tile, H) @ (H, W) contraction on the MXU, multiply-reduces
+against the u-weights on the VPU, and only the (tile,) result ever leaves
+the chip. HBM traffic drops to img + coords + out (< 1 MB), so the op is
+pure MXU compute.
+
+Layout: pixels are flattened to a (P, 1) column (Mosaic cannot reshape
+across lanes inside the kernel, so the pixel axis lives in the sublane
+dimension end-to-end); the hat-weight tensors broadcast against it in the
+lane dimension. Any H*W works (padded up to a tile multiple).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuahn_vio.ops.warp import pixel_grid_uv1
+
+# output pixels per grid step
+_TILE_PIX = 2048
+
+
+def _warp_kernel(sv_ref, su_ref, img_ref, out_ref):
+    """One tile: (T, 1) output pixels against the full (H, W) image."""
+    h, w = img_ref.shape
+
+    sv = sv_ref[:]  # (T, 1) source row coordinate per pixel
+    su = su_ref[:]  # (T, 1) source col coordinate per pixel
+    p = sv.shape[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(sv - rows))  # (p, H) hat weights
+
+    # MXU: contract the row weights against the image. HIGHEST keeps the
+    # f32 multi-pass (default single-pass truncates to bf16 -> ~4e-3 error,
+    # which breaks grid_sample parity with the reference).
+    m = jnp.dot(
+        wv,
+        img_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (p, W)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1).astype(jnp.float32)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(su - cols))  # (p, W)
+
+    out_ref[:] = jnp.sum(m * wu, axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def homography_warp_pallas(
+    img: jnp.ndarray, h_uv: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Warp ``img`` (H, W) by the pixel-frame homography ``h_uv`` (3, 3).
+
+    Semantics identical to ``ops.warp.homography_warp`` (torch grid_sample
+    bilinear / zeros padding / align_corners=True): out-of-image taps get
+    zero hat weight. Requires H*W % 128 == 0.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    testing without a TPU).
+    """
+    hgt, wid = img.shape
+    p = hgt * wid
+    # pad the pixel count up to a tile multiple (padded pixels get
+    # off-image coords -> zero hat weights -> zero output, sliced below)
+    tile = min(_TILE_PIX, ((p + 7) // 8) * 8)
+    n_pad = ((p + tile - 1) // tile) * tile
+
+    img = img.astype(jnp.float32)
+    grid_uv1 = pixel_grid_uv1(hgt, wid, dtype=jnp.float32)  # (3, P)
+    uvz = jnp.matmul(
+        h_uv.astype(jnp.float32), grid_uv1, precision=jax.lax.Precision.HIGHEST
+    )
+    z = uvz[2]
+    su = jnp.clip(uvz[0] / z, -1e4, 1e4)
+    sv = jnp.clip(uvz[1] / z, -1e4, 1e4)
+    if n_pad != p:
+        su = jnp.pad(su, (0, n_pad - p), constant_values=-1e4)
+        sv = jnp.pad(sv, (0, n_pad - p), constant_values=-1e4)
+    su = su.reshape(n_pad, 1)
+    sv = sv.reshape(n_pad, 1)
+
+    out = pl.pallas_call(
+        _warp_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        interpret=interpret,
+    )(sv, su, img)
+    return out[:p, 0].reshape(hgt, wid)

@@ -136,3 +136,14 @@ def homography_warp_mm(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     m = jnp.matmul(wv, img, precision=jax.lax.Precision.HIGHEST)  # (P, W)
     out = jnp.sum(m * wu, axis=-1)
     return out.reshape(hgt, wid)
+
+
+def homography_warp_auto(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatch: the fused Pallas kernel on TPU (weights never
+    leave VMEM), the XLA matmul formulation elsewhere. The branch resolves
+    at trace time, so each backend jit-caches its own lowering."""
+    if jax.default_backend() == "tpu":
+        from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas
+
+        return homography_warp_pallas(img, h_uv)
+    return homography_warp_mm(img, h_uv)

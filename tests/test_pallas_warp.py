@@ -1,0 +1,53 @@
+"""Pallas fused warp kernel vs the XLA gather reference (interpret mode on
+CPU; the same kernel runs compiled on TPU via homography_warp_auto)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuahn_vio.ops.warp import homography_warp, homography_warp_auto
+from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas
+
+H_TEST = jnp.array(
+    [[1.02, 0.01, -2.0], [0.005, 0.98, 1.5], [1e-5, -2e-5, 1.0]], jnp.float32
+)
+
+
+@pytest.mark.parametrize("shape", [(56, 80), (112, 160), (224, 320)])
+def test_pallas_matches_gather_reference(rng, shape):
+    img = jnp.array(rng.random(shape), jnp.float32)
+    ref = homography_warp(img, H_TEST)
+    out = homography_warp_pallas(img, H_TEST, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_identity_and_translation(rng):
+    img = jnp.array(rng.random((56, 80)), jnp.float32)
+    out = homography_warp_pallas(img, jnp.eye(3, dtype=jnp.float32), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    # integer translation by (3, 2): out(u,v) = img(u+3, v+2), zeros at edge
+    h = jnp.array([[1.0, 0, 3.0], [0, 1.0, 2.0], [0, 0, 1.0]], jnp.float32)
+    out = homography_warp_pallas(img, h, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out[:-2, :-3]), np.asarray(img[2:, 3:]), atol=1e-6
+    )
+    assert np.allclose(np.asarray(out[-2:]), 0.0)
+    assert np.allclose(np.asarray(out[:, -3:]), 0.0)
+
+
+def test_pallas_off_image_zero_padding(rng):
+    """A homography pushing everything far off-image must return zeros
+    (grid_sample zeros padding, warp.py:77)."""
+    img = jnp.array(rng.random((56, 80)), jnp.float32)
+    h = jnp.array([[1.0, 0, 5000.0], [0, 1.0, 5000.0], [0, 0, 1.0]], jnp.float32)
+    out = homography_warp_pallas(img, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+
+def test_auto_dispatch_cpu_path(rng):
+    """On the CPU test backend the dispatcher must use the XLA path and
+    match the reference."""
+    img = jnp.array(rng.random((56, 80)), jnp.float32)
+    ref = homography_warp(img, H_TEST)
+    out = homography_warp_auto(img, H_TEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
