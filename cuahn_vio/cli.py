@@ -432,6 +432,11 @@ def cmd_train_uahn(args):
         else VioOptions.uzhfpv_indoor45()
     )
     model, params = init_uahn(jax.random.PRNGKey(args.seed))
+    if args.resume:
+        from cuahn_vio.utils.checkpoint import load_params
+
+        params = load_params(args.resume, params)
+        print(f"resumed from {args.resume}")
     t = np.asarray(opts.t_imu_to_cam)
     c_rot_i = jnp.array(t[:3, :3], jnp.float32)
     i_t_i2c = jnp.array(-t[:3, :3].T @ t[:3, 3], jnp.float32)
@@ -549,6 +554,8 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--save-every", type=int, default=250)
     s.add_argument("--config", default=None)
+    s.add_argument("--resume", default=None,
+                   help="continue from an existing weights checkpoint")
     s.set_defaults(fn=cmd_train_uahn)
 
     args = p.parse_args(argv)

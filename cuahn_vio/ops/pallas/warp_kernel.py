@@ -39,29 +39,40 @@ from cuahn_vio.ops.warp import pixel_grid_uv1
 _TILE_PIX = 2048
 
 
-def _warp_kernel(sv_ref, su_ref, img_ref, out_ref):
-    """One tile: (T, 1) output pixels against the full (H, W) image."""
-    h, w = img_ref.shape
+def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
+    """One tile: (T, 1) output pixels against the full (H, W) image.
+
+    Precision scheme: a single f32 hat-weight matmul would need the slow
+    multi-pass MXU mode (default single-pass truncates weights to bf16 ->
+    ~4e-3 intensity error). Instead the vertical interpolation is written as
+    two ONE-HOT row-selection matmuls — 0/1 entries are exact in bf16 —
+    blended with the f32 fractional weight on the VPU; the image itself is
+    hi/lo-split into two bf16 operands (f32 accumulate), so each selected
+    row is exact to ~1.5e-5. Four single-pass bf16 matmuls beat one
+    6-pass f32 HIGHEST matmul and lose no grid_sample parity.
+    """
+    h, w = hi_ref.shape
 
     sv = sv_ref[:]  # (T, 1) source row coordinate per pixel
     su = su_ref[:]  # (T, 1) source col coordinate per pixel
     p = sv.shape[0]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
-    wv = jnp.maximum(0.0, 1.0 - jnp.abs(sv - rows))  # (p, H) hat weights
+    y0 = jnp.floor(sv)
+    fy = sv - y0  # (p, 1) f32 fractional row weight
 
-    # MXU: contract the row weights against the image. HIGHEST keeps the
-    # f32 multi-pass (default single-pass truncates to bf16 -> ~4e-3 error,
-    # which breaks grid_sample parity with the reference).
-    m = jnp.dot(
-        wv,
-        img_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (p, W)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
+    oh0 = (rows == y0).astype(jnp.bfloat16)  # (p, H) exact one-hot
+    oh1 = (rows == y0 + 1.0).astype(jnp.bfloat16)
+
+    def sel(oh):  # image row gather as MXU matmul, f32 accumulate
+        return jnp.dot(
+            oh, hi_ref[:], preferred_element_type=jnp.float32
+        ) + jnp.dot(oh, lo_ref[:], preferred_element_type=jnp.float32)
+
+    m = (1.0 - fy) * sel(oh0) + fy * sel(oh1)  # (p, W) f32
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1).astype(jnp.float32)
-    wu = jnp.maximum(0.0, 1.0 - jnp.abs(su - cols))  # (p, W)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(su - cols))  # (p, W) f32, VPU
 
     out_ref[:] = jnp.sum(m * wu, axis=-1, keepdims=True)
 
@@ -100,6 +111,9 @@ def homography_warp_pallas(
     su = su.reshape(n_pad, 1)
     sv = sv.reshape(n_pad, 1)
 
+    img_hi = img.astype(jnp.bfloat16)
+    img_lo = (img - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     out = pl.pallas_call(
         _warp_kernel,
         grid=(n_pad // tile,),
@@ -107,11 +121,12 @@ def homography_warp_pallas(
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         interpret=interpret,
-    )(sv, su, img)
+    )(sv, su, img_hi, img_lo)
     return out[:p, 0].reshape(hgt, wid)

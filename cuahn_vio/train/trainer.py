@@ -230,7 +230,10 @@ def train(
 ):
     """Run the training loop; returns trained params. Saves intermediate
     checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
-    sched = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, cfg.warmup_steps, max(steps, cfg.warmup_steps + 1),
+        end_value=cfg.lr * 0.05,
+    )
     tx = make_optimizer(cfg, sched)
     opt_state = tx.init(params)
     step_fn = make_train_step(model, cfg, tx)

@@ -24,12 +24,12 @@ def test_pallas_matches_gather_reference(rng, shape):
 def test_pallas_identity_and_translation(rng):
     img = jnp.array(rng.random((56, 80)), jnp.float32)
     out = homography_warp_pallas(img, jnp.eye(3, dtype=jnp.float32), interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
     # integer translation by (3, 2): out(u,v) = img(u+3, v+2), zeros at edge
     h = jnp.array([[1.0, 0, 3.0], [0, 1.0, 2.0], [0, 0, 1.0]], jnp.float32)
     out = homography_warp_pallas(img, h, interpret=True)
     np.testing.assert_allclose(
-        np.asarray(out[:-2, :-3]), np.asarray(img[2:, 3:]), atol=1e-6
+        np.asarray(out[:-2, :-3]), np.asarray(img[2:, 3:]), atol=1e-5
     )
     assert np.allclose(np.asarray(out[-2:]), 0.0)
     assert np.allclose(np.asarray(out[:, -3:]), 0.0)
