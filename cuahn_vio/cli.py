@@ -376,7 +376,7 @@ def cmd_make_synthetic(args):
         from cuahn_vio.data.bspline import SplineTrajectory
 
         traj = SplineTrajectory.from_trajectory_file(
-            args.traj_file, dt=args.spline_dt
+            args.traj_file, dt=args.spline_dt, z_offset=args.traj_z_offset
         )
     else:
         traj = AnalyticTrajectory()
@@ -544,6 +544,9 @@ def main(argv=None):
     s.add_argument("--traj-file", default=None,
                    help="drive a B-spline from a '# t x y z qx qy qz qw' txt")
     s.add_argument("--spline-dt", type=float, default=0.5)
+    s.add_argument("--traj-z-offset", type=float, default=0.0,
+                   help="vertical shift when replaying a mocap trajectory "
+                        "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
 
     s = sub.add_parser("train-uahn", help="train network weights from scratch")

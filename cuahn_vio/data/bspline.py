@@ -116,11 +116,16 @@ class SplineTrajectory:
 
     @classmethod
     def from_trajectory_file(
-        cls, path: str, dt: float = 0.1, jpl_xyzw: bool = True
+        cls, path: str, dt: float = 0.1, z_offset: float = 0.0
     ):
         """Load '# t x y z qx qy qz qw' txt (Simulator.cpp:50-76), resample
         at uniform dt by nearest-time pick (the reference likewise feeds raw
-        poses as control points after a distance-threshold skip)."""
+        poses as control points after a distance-threshold skip).
+
+        ``z_offset`` shifts the trajectory vertically — needed when replaying
+        a mocap-frame trajectory over the synthetic z=0 ground plane (e.g.
+        UZH-FPV indoor_45_2 flies z in [-1.4, 0.7] mocap; +1.7 puts the
+        ground plausibly at z=0)."""
         rows = []
         with open(path) as f:
             for line in f:
@@ -141,7 +146,7 @@ class SplineTrajectory:
             q = arr[i, 4:8]  # xyzw in file
             qwxyz = jnp.array([q[3], q[0], q[1], q[2]])
             ctrl[k, :3, :3] = np.asarray(quat_to_rot(qwxyz))
-            ctrl[k, :3, 3] = arr[i, 1:4]
+            ctrl[k, :3, 3] = arr[i, 1:4] + [0.0, 0.0, z_offset]
             ctrl[k, 3, 3] = 1.0
         # zero-base the time axis so the trajectory interface (queried with
         # t starting at 0 by make_sequence) starts at the file's first pose

@@ -64,10 +64,17 @@ def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
     oh0 = (rows == y0).astype(jnp.bfloat16)  # (p, H) exact one-hot
     oh1 = (rows == y0 + 1.0).astype(jnp.bfloat16)
 
-    def sel(oh):  # image row gather as MXU matmul, f32 accumulate
-        return jnp.dot(
-            oh, hi_ref[:], preferred_element_type=jnp.float32
-        ) + jnp.dot(oh, lo_ref[:], preferred_element_type=jnp.float32)
+    if lo_ref is None:  # exact_u8 path: hi alone is exact
+
+        def sel(oh):
+            return jnp.dot(oh, hi_ref[:], preferred_element_type=jnp.float32)
+
+    else:
+
+        def sel(oh):  # image row gather as MXU matmul, f32 accumulate
+            return jnp.dot(
+                oh, hi_ref[:], preferred_element_type=jnp.float32
+            ) + jnp.dot(oh, lo_ref[:], preferred_element_type=jnp.float32)
 
     m = (1.0 - fy) * sel(oh0) + fy * sel(oh1)  # (p, W) f32
 
@@ -77,15 +84,24 @@ def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
     out_ref[:] = jnp.sum(m * wu, axis=-1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
 def homography_warp_pallas(
-    img: jnp.ndarray, h_uv: jnp.ndarray, interpret: bool = False
+    img: jnp.ndarray,
+    h_uv: jnp.ndarray,
+    interpret: bool = False,
+    exact_u8: bool = False,
 ) -> jnp.ndarray:
     """Warp ``img`` (H, W) by the pixel-frame homography ``h_uv`` (3, 3).
 
     Semantics identical to ``ops.warp.homography_warp`` (torch grid_sample
     bilinear / zeros padding / align_corners=True): out-of-image taps get
-    zero hat weight. Requires H*W % 128 == 0.
+    zero hat weight.
+
+    ``exact_u8=True`` asserts the image values are k/255 for integer k
+    (i.e. a /255-normalized uint8 frame, HomographyNet.cpp:139-146 — true
+    for every warp in the UAHN cascade). Then img*255 is integer-exact in
+    bf16 and the hi/lo split halves to a single matmul per tap row —
+    2 MXU passes instead of 4, still bit-exact.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     testing without a TPU).
@@ -111,22 +127,32 @@ def homography_warp_pallas(
     su = su.reshape(n_pad, 1)
     sv = sv.reshape(n_pad, 1)
 
-    img_hi = img.astype(jnp.bfloat16)
-    img_lo = (img - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    out = pl.pallas_call(
-        _warp_kernel,
+    coord_spec = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    common = dict(
         grid=(n_pad // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hgt, wid), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec(
             (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         interpret=interpret,
-    )(sv, su, img_hi, img_lo)
+    )
+    if exact_u8:
+        img255 = (img * 255.0).astype(jnp.bfloat16)  # integers <= 255: exact
+        out = pl.pallas_call(
+            lambda sv_r, su_r, hi_r, out_r: _warp_kernel(
+                sv_r, su_r, hi_r, None, out_r
+            ),
+            in_specs=[coord_spec, coord_spec, img_spec],
+            **common,
+        )(sv, su, img255)
+        out = out * (1.0 / 255.0)
+    else:
+        img_hi = img.astype(jnp.bfloat16)
+        img_lo = (img - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            _warp_kernel,
+            in_specs=[coord_spec, coord_spec, img_spec, img_spec],
+            **common,
+        )(sv, su, img_hi, img_lo)
     return out[:p, 0].reshape(hgt, wid)

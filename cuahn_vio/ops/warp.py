@@ -145,5 +145,7 @@ def homography_warp_auto(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas
 
-        return homography_warp_pallas(img, h_uv)
+        # every image in the pipeline is a /255-normalized uint8 frame
+        # (HomographyNet.cpp:139-146; the trainer quantizes to match)
+        return homography_warp_pallas(img, h_uv, exact_u8=True)
     return homography_warp_mm(img, h_uv)

@@ -83,6 +83,11 @@ def sample_pair(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width):
     tex_key = ks[5]
     img1 = render_frame(p1, q1, c_rot_i, i_t_i2c, tex_key, height, width)
     img2 = render_frame(p2, q2, c_rot_i, i_t_i2c, tex_key, height, width)
+    # quantize to u8 levels: the deployed pipeline feeds /255-normalized
+    # uint8 frames (HomographyNet.cpp:139-146), and the pallas warp's
+    # exact_u8 fast path relies on k/255-valued inputs
+    img1 = jnp.round(jnp.clip(img1, 0.0, 1.0) * 255.0) / 255.0
+    img2 = jnp.round(jnp.clip(img2, 0.0, 1.0) * 255.0) / 255.0
     gt_flow = true_corner_flow(p1, q1, p2, q2, c_rot_i, i_t_i2c)
     gt_flow = gt_flow * (width - 1) / 319.0  # scale if a tiny model is used
     prior = gt_flow.reshape(4, 2) + jax.random.normal(ks[6], (4, 2)) * (

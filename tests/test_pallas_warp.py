@@ -51,3 +51,13 @@ def test_auto_dispatch_cpu_path(rng):
     ref = homography_warp(img, H_TEST)
     out = homography_warp_auto(img, H_TEST)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_exact_u8_path(rng):
+    """The exact_u8 fast path must be (near-)bit-exact on /255-normalized
+    uint8 frames."""
+    img_u8 = rng.integers(0, 256, (56, 80)).astype(np.uint8)
+    img = jnp.array(img_u8, jnp.float32) / 255.0
+    ref = homography_warp(img, H_TEST)
+    out = homography_warp_pallas(img, H_TEST, interpret=True, exact_u8=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
