@@ -359,6 +359,13 @@ def cmd_run_vio(args):
             ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
         )
         print(f"wrote full state -> {args.state_out}")
+    if args.odom_out:
+        from cuahn_vio.eval.traj_io import save_odom_file
+
+        save_odom_file(args.odom_out, res.times, res.pose_w, res.v_body)
+        print(f"wrote odometry -> {args.odom_out}")
+    if res.n_recoveries:
+        print(f"divergence guard fired {res.n_recoveries}x (state rolled back)")
 
 
 def cmd_make_synthetic(args):
@@ -524,6 +531,8 @@ def main(argv=None):
     s.add_argument("--timing-out", default=None)
     s.add_argument("--state-out", default=None,
                    help=".npz with v/biases/cov diag for error-simulation")
+    s.add_argument("--odom-out", default=None,
+                   help="FRD odometry txt (visualize_odometry analog)")
     s.add_argument("--no-network", action="store_true", help="dead reckoning")
     s.add_argument("--init-height", type=float, default=None,
                    help="override init_height (meters over the plane; the "

@@ -137,3 +137,52 @@ def save_euroc_csv(path: str, traj: Trajectory) -> None:
                 + ",".join(f"{x:.9f}" for x in p[:3])
                 + f",{p[6]:.9f},{p[3]:.9f},{p[4]:.9f},{p[5]:.9f}\n"
             )
+
+
+# FLU-world <-> FRD-body axis swap used by the controller-facing odometry
+# (RosVisualizer.cpp:64)
+_I0_R_W = np.array([[0.0, -1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+
+
+def _rot2euler_frd(rot: np.ndarray):
+    """Reference Euler extraction (RosVisualizer.cpp:303-315)."""
+    sy = np.sqrt(rot[1, 2] ** 2 + rot[2, 2] ** 2)
+    if sy < 1e-6:
+        yaw = 0.0
+        roll = np.arctan2(-rot[2, 1], rot[1, 1])
+    else:
+        yaw = np.arctan2(rot[0, 1], rot[0, 0])
+        roll = np.arctan2(rot[1, 2], rot[2, 2])
+    pitch = np.arctan2(-rot[0, 2], sy)
+    return roll, pitch, yaw
+
+
+def save_odom_file(
+    path: str,
+    times: np.ndarray,
+    pose7: np.ndarray,
+    v_body: np.ndarray,
+) -> None:
+    """Controller-facing odometry txt (RosVisualizer::visualize_odometry,
+    RosVisualizer.cpp:98-148): FRD position, FRD linear velocity, and
+    roll/pitch/yaw of b_R_w = i0_R_w^T R^T i0_R_w.
+
+    Columns: t x y z vx vy vz roll pitch yaw (FRD frame, rad).
+    """
+    from cuahn_vio.eval.align import jpl_quat_to_rot
+
+    with open(path, "w") as f:
+        f.write("# t x y z vx vy vz roll pitch yaw (FRD)\n")
+        for i in range(len(times)):
+            r_i2w = jpl_quat_to_rot(pose7[i, 3:7]).T  # body->world
+            w_pos = pose7[i, :3]
+            # (-y, -x, -z): world FLU -> FRD (RosVisualizer.cpp:133-137)
+            px, py, pz = -w_pos[1], -w_pos[0], -w_pos[2]
+            vx, vy, vz = -v_body[i][1], -v_body[i][0], -v_body[i][2]
+            b_r_w = _I0_R_W.T @ r_i2w.T @ _I0_R_W
+            roll, pitch, yaw = _rot2euler_frd(b_r_w)
+            f.write(
+                f"{times[i]:.9f} {px:.6f} {py:.6f} {pz:.6f} "
+                f"{vx:.6f} {vy:.6f} {vz:.6f} "
+                f"{roll:.6f} {pitch:.6f} {yaw:.6f}\n"
+            )

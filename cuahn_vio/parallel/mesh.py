@@ -25,6 +25,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host JAX runtime (SURVEY.md §5.8: the moral
+    replacement of the reference's ROS transport for cross-host work).
+
+    With no arguments, uses jax.distributed's environment auto-detection
+    (TPU pod metadata / SLURM / Open MPI). A no-op on a single process.
+    Call before any other jax API. After this, ``jax.devices()`` is global
+    and ``make_mesh`` spans the slice; per-host input pipelines feed their
+    ``jax.local_devices()`` shard (the per-host analog of the reference's
+    ROS subscriber callbacks, ros_subscribe_cuahn.cpp:70-108).
+    """
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            # single-process / no coordinator env: run locally
+            pass
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def make_mesh(
     axis_sizes: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = ("seq",),

@@ -57,6 +57,7 @@ class RunResult(NamedTuple):
     ba: Optional[np.ndarray] = None  # (F, 3) accel bias estimate
     bg: Optional[np.ndarray] = None  # (F, 3) gyro bias estimate
     cov_diag: Optional[np.ndarray] = None  # (F, 15) core cov diagonal
+    n_recoveries: int = 0  # divergence-guard rollbacks (stepwise runner)
 
 
 def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
@@ -179,6 +180,12 @@ def run_stepwise(
     frames_dev = jnp.array(frames_used)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(cam_used))
 
+    from cuahn_vio.filter.health import health_flags
+
+    health = jax.jit(lambda s: health_flags(s).ok)
+    last_good = carry
+    n_recoveries = 0
+
     rows, outs_list, stage = [], [], []
     for f in range(1, len(cam_used)):
         t_a = time.perf_counter()
@@ -191,6 +198,20 @@ def run_stepwise(
         carry, out = step(carry, xs)
         jax.block_until_ready(carry.state.p)
         t_c = time.perf_counter()
+        # divergence guard (SURVEY.md §5.3: the reference has none and its
+        # shipped estimate ends in NaNs): on a failed health check, roll
+        # back to the last healthy state, inflate its covariance so the
+        # next update trusts the measurement less, and keep going.
+        if not bool(health(carry.state)):
+            n_recoveries += 1
+            s = last_good.state
+            carry = VioCarry(
+                state=s._replace(cov=s.cov * 10.0 + jnp.eye(27) * 1e-6),
+                frame_idx=last_good.frame_idx + 1,
+            )
+            out = jax.device_get(outs_list[-1]) if outs_list else out
+        else:
+            last_good = carry
         outs_list.append(jax.device_get(out))
         load_ms = (t_b - t_a) * 1e3
         fused_ms = (t_c - t_b) * 1e3
@@ -199,6 +220,7 @@ def run_stepwise(
         rows.append(cam_used[f] + opts.calib_camimu_dt)
 
     outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
-    return _outputs_to_result(
+    res = _outputs_to_result(
         FrameOutput(*outs), np.asarray(rows), init.t0, np.asarray(stage)
     )
+    return res._replace(n_recoveries=n_recoveries)
