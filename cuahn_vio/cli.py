@@ -424,6 +424,31 @@ def cmd_make_synthetic(args):
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
+def cmd_convert_euroc(args):
+    """EuRoC-ASL dir -> preprocessed .npz (undistorted via the C++
+    runtime). Camera parameters come from the config (uzhfpv.launch
+    per-sensor blocks)."""
+    from cuahn_vio.data.euroc import load_euroc_sequence, save_sequence_npz
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45()
+    )
+    intr = np.asarray(opts.cam_intrinsics, np.float64)
+    dist = np.asarray(opts.cam_distortion, np.float64)
+    seq = load_euroc_sequence(
+        args.root, intr, dist, opts.cam_is_fisheye,
+        max_frames=args.max_frames,
+    )
+    save_sequence_npz(args.out, seq)
+    print(
+        f"wrote {args.out}: {len(seq.cam_t)} frames, "
+        f"{len(seq.imu_t)} imu samples"
+    )
+
+
 def cmd_train_uahn(args):
     import jax
     import jax.numpy as jnp
@@ -557,6 +582,13 @@ def main(argv=None):
                    help="vertical shift when replaying a mocap trajectory "
                         "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
+
+    s = sub.add_parser("convert-euroc", help="EuRoC-ASL dir -> sequence .npz")
+    s.add_argument("root", help="dataset root containing mav0/")
+    s.add_argument("--out", default="sequence.npz")
+    s.add_argument("--config", default=None)
+    s.add_argument("--max-frames", type=int, default=None)
+    s.set_defaults(fn=cmd_convert_euroc)
 
     s = sub.add_parser("train-uahn", help="train network weights from scratch")
     s.add_argument("--out", default="uahn_weights.msgpack")

@@ -138,11 +138,17 @@ def homography_warp_mm(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(hgt, wid)
 
 
+# 'auto': pallas on TPU, mm elsewhere. 'mm' forces the XLA formulation —
+# the right choice under heavy vmap batching (training), where XLA fuses
+# the batched matmuls better than a vmapped pallas_call grid.
+WARP_IMPL = "auto"
+
+
 def homography_warp_auto(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     """Backend dispatch: the fused Pallas kernel on TPU (weights never
     leave VMEM), the XLA matmul formulation elsewhere. The branch resolves
     at trace time, so each backend jit-caches its own lowering."""
-    if jax.default_backend() == "tpu":
+    if WARP_IMPL == "auto" and jax.default_backend() == "tpu":
         from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas
 
         # every image in the pipeline is a /255-normalized uint8 frame

@@ -235,6 +235,12 @@ def train(
 ):
     """Run the training loop; returns trained params. Saves intermediate
     checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
+    # batched training warps are fastest via the XLA matmul formulation
+    # (a vmapped pallas_call grid serializes; measured ~5x step-time hit)
+    from cuahn_vio.ops import warp as _warp
+
+    _warp.WARP_IMPL = "mm"
+
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.lr, cfg.warmup_steps, max(steps, cfg.warmup_steps + 1),
         end_value=cfg.lr * 0.05,
