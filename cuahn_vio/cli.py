@@ -424,6 +424,54 @@ def cmd_make_synthetic(args):
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
+def cmd_inspect_frame(args):
+    """Run the network on one frame pair of a sequence and dump diagnostics:
+    predicted flow/covariance and the photometric error map
+    (|warp(img2, H) - img1| * 255 — the show_photometric_error display of
+    HomographyNet.cpp:199-207 / model_to_trace.py:319-327)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuahn_vio.models.uahn import init_uahn
+    from cuahn_vio.utils.checkpoint import load_params
+
+    d = np.load(args.sequence)
+    f = args.frame
+    img1 = jnp.array(d["frames"][f], jnp.float32) / 255.0
+    img2 = jnp.array(d["frames"][f + 1], jnp.float32) / 255.0
+
+    model, params = init_uahn(jax.random.PRNGKey(0))
+    if args.weights:
+        params = load_params(args.weights, params)
+
+    out = model.apply(
+        {"params": params}, img1, img2, None,
+        use_prior=False, return_error_map=True,
+        rngs={"dropout": jax.random.PRNGKey(args.seed)},
+    )
+    flow, cov, err_map = out
+    print("4pt flow (px):", np.asarray(flow).round(3))
+    print("cov diag (px^2):", np.asarray(jnp.diagonal(cov)).round(3))
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(14, 3.5))
+    for ax, im, title in zip(
+        axes,
+        [np.asarray(img1), np.asarray(img2), np.asarray(err_map)],
+        ["img1", "img2", "photometric |err| x255"],
+    ):
+        h = ax.imshow(im, cmap="gray" if title != "photometric |err| x255" else "inferno")
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+        fig.colorbar(h, ax=ax, fraction=0.03)
+    fig.savefig(args.out, dpi=130, bbox_inches="tight")
+    print(f"wrote {args.out} (mean photometric err {float(jnp.mean(err_map)):.2f})")
+
+
 def cmd_convert_euroc(args):
     """EuRoC-ASL dir -> preprocessed .npz (undistorted via the C++
     runtime). Camera parameters come from the config (uzhfpv.launch
@@ -582,6 +630,14 @@ def main(argv=None):
                    help="vertical shift when replaying a mocap trajectory "
                         "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
+
+    s = sub.add_parser("inspect-frame", help="network diagnostics on one frame pair")
+    s.add_argument("sequence", help=".npz sequence")
+    s.add_argument("--frame", type=int, default=0)
+    s.add_argument("--weights", default=None)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out", default="inspect_frame.png")
+    s.set_defaults(fn=cmd_inspect_frame)
 
     s = sub.add_parser("convert-euroc", help="EuRoC-ASL dir -> sequence .npz")
     s.add_argument("root", help="dataset root containing mav0/")
