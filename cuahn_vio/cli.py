@@ -424,6 +424,91 @@ def cmd_make_synthetic(args):
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
+def cmd_run_vio_batch(args):
+    """Run MANY sequences in lockstep, sharded over the device mesh
+    (parallel/sharded_eval.py — the batched-throughput serving/eval mode).
+    Writes one pose txt per input sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuahn_vio.models.uahn import init_uahn
+    from cuahn_vio.parallel.mesh import make_mesh
+    from cuahn_vio.parallel.sharded_eval import batched_run_sequences
+    from cuahn_vio.pipeline import prepare_sequence
+    from cuahn_vio.pipeline.runner import _outputs_to_result
+    from cuahn_vio.eval import save_pose_file
+    from cuahn_vio.utils.checkpoint import load_params
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45()
+    )
+    if args.init_height is not None:
+        opts.init_height = args.init_height
+
+    model, params = init_uahn(
+        jax.random.PRNGKey(0), blocks_to_run=opts.blocks_to_run
+    )
+    if args.weights:
+        params = load_params(args.weights, params)
+    if args.no_network:
+        model, params = None, None
+
+    preps, n_frames = [], []
+    for path in args.sequences:
+        d = np.load(path)
+        prep = prepare_sequence(
+            d["imu_t"], d["imu_w"], d["imu_a"], d["cam_t"], d["frames"],
+            opts.runner_options(), opts.filter_params(),
+        )
+        preps.append(prep)
+        n_frames.append(prep[2].dt.shape[0])
+
+    # pad to a common frame count (scan needs one static length); padded
+    # steps integrate zero-dt windows (no-ops) on repeated last frames
+    f_max = max(n_frames)
+    imgs, ws, a_s, dts = [], [], [], []
+    for (init, state0, win, cam_used, frames_used), nf in zip(preps, n_frames):
+        pad_f = f_max - nf
+        imgs.append(
+            np.concatenate([frames_used, np.repeat(frames_used[-1:], pad_f, 0)])
+        )
+        ws.append(np.pad(win.w_mid, ((0, pad_f), (0, 0), (0, 0))))
+        a_s.append(np.pad(win.a_mid, ((0, pad_f), (0, 0), (0, 0))))
+        dts.append(np.pad(win.dt, ((0, pad_f), (0, 0))))
+
+    states0 = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[p[1] for p in preps]
+    )
+    mesh = None
+    if args.mesh:
+        import math
+
+        n_dev = math.gcd(len(preps), len(jax.devices()))
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        print(f"sharding {len(preps)} sequences over {n_dev} devices")
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), len(preps))
+    _, outs = batched_run_sequences(
+        states0, model, params, opts.filter_params(), opts.vio_config(),
+        jnp.array(np.stack(imgs)), jnp.array(np.stack(ws)),
+        jnp.array(np.stack(a_s)), jnp.array(np.stack(dts)), keys, mesh=mesh,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, (path, (init, _, _, cam_used, _), nf) in enumerate(
+        zip(args.sequences, preps, n_frames)
+    ):
+        out_i = jax.tree.map(lambda x: np.asarray(x[i][:nf]), outs)
+        times = cam_used[1 : nf + 1] + opts.calib_camimu_dt
+        res = _outputs_to_result(out_i, times, init.t0)
+        name = os.path.splitext(os.path.basename(path))[0] + ".txt"
+        dst = os.path.join(args.out_dir, name)
+        save_pose_file(dst, res.times, res.pose_w, res.cov_ori, res.cov_pos)
+        print(f"{path}: {nf} frames -> {dst}")
+
+
 def cmd_inspect_frame(args):
     """Run the network on one frame pair of a sequence and dump diagnostics:
     predicted flow/covariance and the photometric error map
@@ -630,6 +715,18 @@ def main(argv=None):
                    help="vertical shift when replaying a mocap trajectory "
                         "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
+
+    s = sub.add_parser("run-vio-batch", help="many sequences, mesh-sharded")
+    s.add_argument("sequences", nargs="+", help=".npz sequence files")
+    s.add_argument("--out-dir", default="batch_out")
+    s.add_argument("--config", default=None)
+    s.add_argument("--weights", default=None)
+    s.add_argument("--no-network", action="store_true")
+    s.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all visible devices")
+    s.add_argument("--init-height", type=float, default=None)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_run_vio_batch)
 
     s = sub.add_parser("inspect-frame", help="network diagnostics on one frame pair")
     s.add_argument("sequence", help=".npz sequence")
