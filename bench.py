@@ -91,25 +91,38 @@ def main():
     fps = 1000.0 / ms
     print(f"# single-stream: {ms:.2f} ms/frame = {fps:.1f} fps")
 
-    # batched throughput: 8 independent streams vmapped (sequence sharding
-    # story on one chip)
-    batch = 8
-    vstep = jax.jit(jax.vmap(step))
-    carries = jax.tree.map(lambda x: jnp.stack([x] * batch), carry)
-    xs = jax.tree.map(
-        lambda x: jnp.stack([x] * batch),
-        (img_prev, img_curr, w, a, dt, key),
-    )
-    c2, o2 = vstep(carries, xs)
-    jax.block_until_ready(o2.p_world)
-    t0 = time.perf_counter()
-    reps = 20
-    cr = carries
-    for i in range(reps):
-        cr, o2 = vstep(cr, xs)
-    jax.block_until_ready(cr.state.p)
-    batch_fps = batch * reps / (time.perf_counter() - t0)
-    print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
+    # batched throughput: independent streams vmapped (sequence sharding
+    # story on one chip). The XLA matmul warp batches better than a
+    # vmapped pallas grid, so switch implementations for this mode.
+    from cuahn_vio.ops import warp as warp_mod
+
+    # WARP_IMPL is read at trace time, so it must stay 'mm' until the
+    # batched step has been traced (the first vstep call below)
+    warp_mod.WARP_IMPL = "mm"
+    step_mm = make_vio_step(model, params, fparams, cfg)
+
+    best_batch_fps, best_batch = 0.0, 0
+    for batch in (8,):
+        vstep = jax.jit(jax.vmap(step_mm))
+        carries = jax.tree.map(lambda x: jnp.stack([x] * batch), carry)
+        xs = jax.tree.map(
+            lambda x: jnp.stack([x] * batch),
+            (img_prev, img_curr, w, a, dt, key),
+        )
+        c2, o2 = vstep(carries, xs)
+        jax.block_until_ready(o2.p_world)
+        t0 = time.perf_counter()
+        reps = 20
+        cr = carries
+        for i in range(reps):
+            cr, o2 = vstep(cr, xs)
+        jax.block_until_ready(cr.state.p)
+        batch_fps = batch * reps / (time.perf_counter() - t0)
+        print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
+        if batch_fps > best_batch_fps:
+            best_batch_fps, best_batch = batch_fps, batch
+    batch_fps = best_batch_fps
+    warp_mod.WARP_IMPL = "auto"
 
     best_fps = max(fps, batch_fps)
     print(

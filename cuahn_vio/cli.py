@@ -424,6 +424,66 @@ def cmd_make_synthetic(args):
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
+def cmd_smooth_trajectory(args):
+    """Pose-graph smoothing of a VIO estimate (chain factors from the
+    odometry, optional loop factors between keyframe pairs given as
+    'a:b,a:b,...'). --mesh runs the block-partitioned Schur-complement
+    solver over all devices (parallel/pose_graph_sharded.py)."""
+    import jax.numpy as jnp
+
+    from cuahn_vio.eval import load_pose_file, save_pose_file
+    from cuahn_vio.parallel.pose_graph import (
+        chain_graph_from_trajectory,
+        optimize,
+        relative_pose,
+    )
+
+    traj = load_pose_file(args.est)
+    # file poses are [x y z qx qy qz qw]; module wants wxyz
+    p = jnp.array(traj.poses[:, :3], jnp.float32)
+    q = jnp.array(traj.poses[:, [6, 3, 4, 5]], jnp.float32)
+
+    pairs, edp, edq = None, None, None
+    if args.loops:
+        import jax
+
+        pairs = [
+            tuple(int(x) for x in pair.split(":")) for pair in args.loops.split(",")
+        ]
+        d = [relative_pose(p[a], q[a], p[b], q[b]) for a, b in pairs]
+        edp = jnp.stack([x[0] for x in d])
+        edq = jnp.stack([x[1] for x in d])
+    graph = chain_graph_from_trajectory(
+        p, q, sigma_dp=args.sigma_dp, sigma_dth=args.sigma_dth,
+        extra_pairs=pairs, extra_dp=edp, extra_dq=edq,
+        extra_sigma_dp=args.loop_sigma_dp, extra_sigma_dth=args.loop_sigma_dth,
+    )
+
+    if args.mesh:
+        from cuahn_vio.parallel.mesh import make_mesh
+        from cuahn_vio.parallel.pose_graph_sharded import (
+            optimize_sharded,
+            partition_graph,
+            reassemble,
+        )
+
+        mesh = make_mesh()
+        sg = partition_graph(graph, mesh.devices.size)
+        p_int, q_int, p_sep, q_sep, costs = optimize_sharded(
+            sg, mesh, iters=args.iters
+        )
+        p_opt, q_opt = reassemble(sg, p_int, q_int, p_sep, q_sep)
+        print(f"sharded GN over {mesh.devices.size} devices")
+    else:
+        p_opt, q_opt, costs = optimize(graph, iters=args.iters)
+        p_opt, q_opt = np.asarray(p_opt), np.asarray(q_opt)
+
+    print(f"cost {float(costs[0]):.4g} -> {float(costs[-1]):.4g}")
+    poses = np.concatenate([p_opt, q_opt[:, [1, 2, 3, 0]]], axis=1)
+    save_pose_file(args.out, traj.times, poses)
+    print(f"wrote {args.out}")
+
+
 def cmd_run_vio_batch(args):
     """Run MANY sequences in lockstep, sharded over the device mesh
     (parallel/sharded_eval.py — the batched-throughput serving/eval mode).
@@ -715,6 +775,19 @@ def main(argv=None):
                    help="vertical shift when replaying a mocap trajectory "
                         "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
+
+    s = sub.add_parser("smooth-trajectory", help="pose-graph smoothing of a run")
+    s.add_argument("est", help="pose txt to smooth")
+    s.add_argument("--out", default="smoothed.txt")
+    s.add_argument("--loops", default=None, help="loop pairs 'a:b,c:d'")
+    s.add_argument("--iters", type=int, default=10)
+    s.add_argument("--sigma-dp", type=float, default=0.02)
+    s.add_argument("--sigma-dth", type=float, default=0.01)
+    s.add_argument("--loop-sigma-dp", type=float, default=None)
+    s.add_argument("--loop-sigma-dth", type=float, default=None)
+    s.add_argument("--mesh", action="store_true",
+                   help="block-partitioned Schur solve over all devices")
+    s.set_defaults(fn=cmd_smooth_trajectory)
 
     s = sub.add_parser("run-vio-batch", help="many sequences, mesh-sharded")
     s.add_argument("sequences", nargs="+", help=".npz sequence files")
