@@ -424,6 +424,63 @@ def cmd_make_synthetic(args):
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
 
 
+def cmd_close_loops(args):
+    """Detect overlap candidates in a run, re-run the UAHN across each
+    long-baseline pair, and write relative-position loop factors for
+    smooth-trajectory (pipeline/loop_closure.py)."""
+    import jax
+
+    from cuahn_vio.models.uahn import init_uahn
+    from cuahn_vio.pipeline.loop_closure import (
+        find_loop_candidates,
+        generate_loop_factors,
+    )
+    from cuahn_vio.utils.checkpoint import load_params
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45()
+    )
+    seq = np.load(args.sequence)
+    st = np.load(args.state)
+    pose = st["pose"]
+    p_w = pose[:, :3]
+    q = pose[:, [6, 3, 4, 5]]  # file xyzw -> wxyz
+
+    # map state rows onto camera frames (state starts at the 2nd frame)
+    times = st["times"]
+    cam_t = seq["cam_t"]
+    frame_of = np.searchsorted(cam_t + opts.calib_camimu_dt, times)
+    frame_of = np.clip(frame_of, 0, len(cam_t) - 1)
+
+    pairs = find_loop_candidates(
+        times, p_w, min_dt=args.min_dt, max_dist=args.max_dist,
+        stride=args.stride, max_pairs=args.max_pairs,
+    )
+    if len(pairs) == 0:
+        raise SystemExit("no loop candidates found")
+    print(f"{len(pairs)} loop candidates")
+
+    model, params = init_uahn(jax.random.PRNGKey(0))
+    params = load_params(args.weights, params)
+    t = np.asarray(opts.t_imu_to_cam)
+    c_rot_i = t[:3, :3]
+    i_t_i2c = -t[:3, :3].T @ t[:3, 3]
+
+    lf = generate_loop_factors(
+        seq["frames"][frame_of], times, p_w, q, c_rot_i, i_t_i2c,
+        model, params, pairs=pairs,
+    )
+    with open(args.out, "w") as f:
+        f.write("# i j dpx dpy dpz dqw dqx dqy dqz\n")
+        for k in range(len(lf.pairs)):
+            row = [*lf.pairs[k], *lf.dp_meas[k], *lf.dq_meas[k]]
+            f.write(" ".join(str(v) for v in row) + "\n")
+    print(f"wrote {len(lf.pairs)} loop factors -> {args.out}")
+
+
 def cmd_smooth_trajectory(args):
     """Pose-graph smoothing of a VIO estimate (chain factors from the
     odometry, optional loop factors between keyframe pairs given as
@@ -444,9 +501,12 @@ def cmd_smooth_trajectory(args):
     q = jnp.array(traj.poses[:, [6, 3, 4, 5]], jnp.float32)
 
     pairs, edp, edq = None, None, None
-    if args.loops:
-        import jax
-
+    if args.loops_file:
+        rows = np.loadtxt(args.loops_file, comments="#").reshape(-1, 9)
+        pairs = [(int(a), int(b)) for a, b in rows[:, :2]]
+        edp = jnp.array(rows[:, 2:5], jnp.float32)
+        edq = jnp.array(rows[:, 5:9], jnp.float32)
+    elif args.loops:
         pairs = [
             tuple(int(x) for x in pair.split(":")) for pair in args.loops.split(",")
         ]
@@ -776,10 +836,24 @@ def main(argv=None):
                         "over the z=0 ground plane")
     s.set_defaults(fn=cmd_make_synthetic)
 
+    s = sub.add_parser("close-loops", help="UAHN loop factors for a run")
+    s.add_argument("sequence", help=".npz sequence (frames)")
+    s.add_argument("state", help="state .npz from run-vio --state-out")
+    s.add_argument("--weights", required=True)
+    s.add_argument("--config", default=None)
+    s.add_argument("--out", default="loops.txt")
+    s.add_argument("--min-dt", type=float, default=3.0)
+    s.add_argument("--max-dist", type=float, default=1.0)
+    s.add_argument("--stride", type=int, default=5)
+    s.add_argument("--max-pairs", type=int, default=32)
+    s.set_defaults(fn=cmd_close_loops)
+
     s = sub.add_parser("smooth-trajectory", help="pose-graph smoothing of a run")
     s.add_argument("est", help="pose txt to smooth")
     s.add_argument("--out", default="smoothed.txt")
     s.add_argument("--loops", default=None, help="loop pairs 'a:b,c:d'")
+    s.add_argument("--loops-file", default=None,
+                   help="factor file from close-loops")
     s.add_argument("--iters", type=int, default=10)
     s.add_argument("--sigma-dp", type=float, default=0.02)
     s.add_argument("--sigma-dth", type=float, default=0.01)

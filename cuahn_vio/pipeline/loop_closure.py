@@ -1,0 +1,167 @@
+"""Network-based loop closure: UAHN relative-position factors between
+distant keyframes.
+
+No reference counterpart (the reference is a pure filter and drifts
+unboundedly); this is the CUAHN-native extension the planar scene invites:
+ANY two keyframes whose ground footprints overlap can be constrained by one
+more homography-network inference — the same measurement model the filter
+uses frame-to-frame (SURVEY.md §2.7 "pose-graph factors").
+
+Geometry (known-attitude planar PnP):
+1. candidate pairs: temporally distant, spatially near (estimated poses);
+2. the prior-mode UAHN runs on the (frame_i, frame_j) pair with the prior
+   4-point offset computed from the current pose estimates — exactly the
+   EKF-prior pathway of VioManager.cpp:230-236, but across a long baseline;
+3. the 4 corner rays of frame i intersect the z=0 ground plane at points
+   G_k (estimated cam-i pose + height — the filter's planar-scene state);
+4. the measured corners+flow in frame j give bearings u_k; with attitude
+   R_j taken from the estimate (gravity-observable, drift-bounded), each
+   cross-product constraint u_k x R_j^T (G_k - c_j) = 0 is LINEAR in the
+   unknown camera-j position c_j -> 8-equation least squares;
+5. the factor is the relative position (frame-i IMU coordinates) fed to
+   the pose-graph smoother with the measured attitude from the estimates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuahn_vio.filter.state import CORNER_XY1, FOCAL
+from cuahn_vio.ops.quat import quat_mul, quat_normalize, quat_to_rot
+
+
+class LoopFactors(NamedTuple):
+    pairs: np.ndarray  # (L, 2) keyframe indices (i, j)
+    dp_meas: np.ndarray  # (L, 3) measured p_j - p_i in IMU frame i
+    dq_meas: np.ndarray  # (L, 4) relative attitude from the estimates
+
+
+def find_loop_candidates(
+    times: np.ndarray,
+    p_world: np.ndarray,
+    min_dt: float = 3.0,
+    max_dist: float = 1.0,
+    stride: int = 5,
+    max_pairs: int = 32,
+) -> np.ndarray:
+    """Temporally-distant, spatially-near keyframe pairs (L, 2)."""
+    pairs = []
+    n = len(times)
+    for i in range(0, n, stride):
+        for j in range(i + 1, n, stride):
+            if times[j] - times[i] < min_dt:
+                continue
+            if np.linalg.norm(p_world[j] - p_world[i]) < max_dist:
+                pairs.append((i, j))
+                break  # one partner per i keeps the graph sparse
+        if len(pairs) >= max_pairs:
+            break
+    return np.asarray(pairs, np.int64).reshape(-1, 2)
+
+
+def _cam_pose(p_w, q_wxyz, c_rot_i, i_t_i2c):
+    rot_i2w = quat_to_rot(q_wxyz)
+    return rot_i2w @ c_rot_i.T, p_w + rot_i2w @ i_t_i2c
+
+
+def flow_between(p_wi, q_i, p_wj, q_j, c_rot_i, i_t_i2c):
+    """Predicted 4-point offset (4, 2) in PIXELS from est poses — the
+    long-baseline prior (data/oracle.py geometry)."""
+    r1, c1 = _cam_pose(p_wi, q_i, c_rot_i, i_t_i2c)
+    r2, c2 = _cam_pose(p_wj, q_j, c_rot_i, i_t_i2c)
+    bear_w = CORNER_XY1 @ r1.T
+    lam = -c1[2] / bear_w[:, 2]
+    ground = c1[None, :] + lam[:, None] * bear_w
+    x_c2 = (ground - c2[None, :]) @ r2
+    xy2 = x_c2[:, :2] / x_c2[:, 2:3]
+    return (xy2 - CORNER_XY1[:, :2]) * FOCAL
+
+
+def position_from_flow(
+    flow_px: jnp.ndarray,  # (4, 2) measured corner flow i -> j, pixels
+    p_wi: jnp.ndarray,  # (3,) est world IMU position of keyframe i
+    q_i: jnp.ndarray,  # (4,) wxyz est attitude i
+    q_j: jnp.ndarray,  # (4,) wxyz est attitude j
+    c_rot_i: jnp.ndarray,
+    i_t_i2c: jnp.ndarray,
+) -> jnp.ndarray:
+    """World IMU position of keyframe j from the measured flow (known-
+    attitude planar PnP, steps 3-4 of the module docstring)."""
+    r1, c1 = _cam_pose(p_wi, q_i, c_rot_i, i_t_i2c)
+    bear_w = CORNER_XY1 @ r1.T
+    lam = -c1[2] / bear_w[:, 2]
+    ground = c1[None, :] + lam[:, None] * bear_w  # (4, 3) world pts
+
+    # measured bearings in cam j
+    xy_j = CORNER_XY1[:, :2] + flow_px / FOCAL
+    u = jnp.concatenate([xy_j, jnp.ones((4, 1), xy_j.dtype)], axis=1)  # (4,3)
+
+    rot_i2w_j = quat_to_rot(q_j)
+    r2 = rot_i2w_j @ c_rot_i.T  # cam j -> world
+
+    # u_k x R2^T (G_k - c2) = 0  ->  [u_k]x R2^T c2 = [u_k]x R2^T G_k
+    def skew(v):
+        return jnp.array(
+            [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], v.dtype
+        )
+
+    a_rows = jax.vmap(lambda uk: skew(uk) @ r2.T)(u)  # (4, 3, 3)
+    b_rows = jax.vmap(lambda uk, gk: skew(uk) @ (r2.T @ gk))(u, ground)
+    a = a_rows.reshape(12, 3)
+    b = b_rows.reshape(12)
+    c2 = jnp.linalg.lstsq(a, b)[0]  # world cam-j position
+    return c2 - rot_i2w_j @ i_t_i2c  # back to IMU position
+
+
+def generate_loop_factors(
+    frames: np.ndarray,  # (F, H, W) uint8 undistorted frames
+    times: np.ndarray,  # (F,)
+    p_world: np.ndarray,  # (F, 3) est IMU world positions
+    q_wxyz: np.ndarray,  # (F, 4) est attitudes
+    c_rot_i,
+    i_t_i2c,
+    model: Any,
+    params: Any,
+    pairs: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> LoopFactors:
+    """Run the prior-mode UAHN across each candidate pair and solve the
+    planar PnP for a relative-position factor."""
+    if pairs is None:
+        pairs = find_loop_candidates(times, p_world)
+    c_rot_i = jnp.asarray(c_rot_i, jnp.float32)
+    i_t_i2c = jnp.asarray(i_t_i2c, jnp.float32)
+
+    @jax.jit
+    def infer(img1, img2, prior, key):
+        return model.apply(
+            {"params": params}, img1, img2, prior,
+            use_prior=True, rngs={"dropout": key},
+        )
+
+    dps, dqs = [], []
+    key = jax.random.PRNGKey(seed)
+    for n, (i, j) in enumerate(pairs):
+        p_i, q_i = jnp.asarray(p_world[i]), jnp.asarray(q_wxyz[i])
+        p_j, q_j = jnp.asarray(p_world[j]), jnp.asarray(q_wxyz[j])
+        prior = flow_between(p_i, q_i, p_j, q_j, c_rot_i, i_t_i2c)
+        img1 = jnp.asarray(frames[i], jnp.float32) / 255.0
+        img2 = jnp.asarray(frames[j], jnp.float32) / 255.0
+        flow8, _cov = infer(img1, img2, prior, jax.random.fold_in(key, n))
+        p_j_meas = position_from_flow(
+            flow8.reshape(4, 2), p_i, q_i, q_j, c_rot_i, i_t_i2c
+        )
+        # factor in the pose-graph convention (pose_graph.relative_pose)
+        rot_i = quat_to_rot(q_i)
+        dps.append(np.asarray(rot_i.T @ (p_j_meas - p_i)))
+        q_i_conj = q_i * jnp.array([1.0, -1, -1, -1])
+        dqs.append(np.asarray(quat_normalize(quat_mul(q_i_conj, q_j))))
+    return LoopFactors(
+        pairs=np.asarray(pairs),
+        dp_meas=np.asarray(dps, np.float32).reshape(-1, 3),
+        dq_meas=np.asarray(dqs, np.float32).reshape(-1, 4),
+    )
