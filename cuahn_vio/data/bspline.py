@@ -112,7 +112,9 @@ class SplineTrajectory:
         rel = jnp.einsum("nij,njk->nik", inv, self.ctrl[1:])
         self.omega = jax.vmap(se3_log)(rel)
         self.t_min = self.t0 + self.dt  # first valid segment start
-        self.t_max = self.t0 + (control_T.shape[0] - 3) * self.dt
+        # last valid segment is i = N-3 (uses omega[N-2], the final twist),
+        # so queries are valid on [t0+dt, t0+(N-2)dt)
+        self.t_max = self.t0 + (control_T.shape[0] - 2) * self.dt
 
     @classmethod
     def from_trajectory_file(
@@ -139,8 +141,11 @@ class SplineTrajectory:
             raise ValueError(f"{path}: fewer than 4 poses")
         times = arr[:, 0]
         grid = np.arange(times[0], times[-1], dt)
-        idx = np.searchsorted(times, grid)
-        idx = np.clip(idx, 0, len(times) - 1)
+        # true nearest-time pick: searchsorted gives first-at-or-after;
+        # compare against the previous sample and keep the closer one
+        idx = np.clip(np.searchsorted(times, grid), 1, len(times) - 1)
+        pick_prev = np.abs(times[idx - 1] - grid) <= np.abs(times[idx] - grid)
+        idx = np.where(pick_prev, idx - 1, idx)
         ctrl = np.zeros((len(grid), 4, 4))
         for k, i in enumerate(idx):
             q = arr[i, 4:8]  # xyzw in file

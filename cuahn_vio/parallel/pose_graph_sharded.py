@@ -113,6 +113,12 @@ def partition_graph(graph: PoseGraph, n_blocks: int) -> ShardedPoseGraph:
 
     int_idx = np.array([pad_int(l) for l in int_lists], np.int64)
 
+    # pull factor data to host ONCE (per-element jnp indexing would sync
+    # the device for every factor)
+    g_dp = np.asarray(graph.dp_meas)
+    g_dq = np.asarray(graph.dq_meas)
+    g_w = np.asarray(graph.sqrt_info)
+
     shp = (n_blocks, m_max)
     isi = np.zeros(shp, bool)
     pi = np.zeros(shp, np.int32)
@@ -129,9 +135,9 @@ def partition_graph(graph: PoseGraph, n_blocks: int) -> ShardedPoseGraph:
             pi[blk, s] = sep_pos[a] if is_sep[a] else int_pos[a]
             isj[blk, s] = is_sep[b]
             pj[blk, s] = sep_pos[b] if is_sep[b] else int_pos[b]
-            dp[blk, s] = np.asarray(graph.dp_meas[m])
-            dq[blk, s] = np.asarray(graph.dq_meas[m])
-            w[blk, s] = np.asarray(graph.sqrt_info[m])
+            dp[blk, s] = g_dp[m]
+            dq[blk, s] = g_dq[m]
+            w[blk, s] = g_w[m]
 
     p = np.asarray(graph.p, np.float32)
     q = np.asarray(graph.q, np.float32)

@@ -30,8 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cuahn_vio.data.oracle import camera_pose, true_corner_flow
 from cuahn_vio.filter.state import CORNER_XY1, FOCAL
-from cuahn_vio.ops.quat import quat_mul, quat_normalize, quat_to_rot
+from cuahn_vio.ops.quat import quat_to_rot, skew
+from cuahn_vio.parallel.pose_graph import relative_pose
 
 
 class LoopFactors(NamedTuple):
@@ -63,22 +65,10 @@ def find_loop_candidates(
     return np.asarray(pairs, np.int64).reshape(-1, 2)
 
 
-def _cam_pose(p_w, q_wxyz, c_rot_i, i_t_i2c):
-    rot_i2w = quat_to_rot(q_wxyz)
-    return rot_i2w @ c_rot_i.T, p_w + rot_i2w @ i_t_i2c
-
-
 def flow_between(p_wi, q_i, p_wj, q_j, c_rot_i, i_t_i2c):
     """Predicted 4-point offset (4, 2) in PIXELS from est poses — the
-    long-baseline prior (data/oracle.py geometry)."""
-    r1, c1 = _cam_pose(p_wi, q_i, c_rot_i, i_t_i2c)
-    r2, c2 = _cam_pose(p_wj, q_j, c_rot_i, i_t_i2c)
-    bear_w = CORNER_XY1 @ r1.T
-    lam = -c1[2] / bear_w[:, 2]
-    ground = c1[None, :] + lam[:, None] * bear_w
-    x_c2 = (ground - c2[None, :]) @ r2
-    xy2 = x_c2[:, :2] / x_c2[:, 2:3]
-    return (xy2 - CORNER_XY1[:, :2]) * FOCAL
+    long-baseline prior: exactly the oracle measurement geometry."""
+    return true_corner_flow(p_wi, q_i, p_wj, q_j, c_rot_i, i_t_i2c).reshape(4, 2)
 
 
 def position_from_flow(
@@ -91,7 +81,7 @@ def position_from_flow(
 ) -> jnp.ndarray:
     """World IMU position of keyframe j from the measured flow (known-
     attitude planar PnP, steps 3-4 of the module docstring)."""
-    r1, c1 = _cam_pose(p_wi, q_i, c_rot_i, i_t_i2c)
+    r1, c1 = camera_pose(p_wi, q_i, c_rot_i, i_t_i2c)
     bear_w = CORNER_XY1 @ r1.T
     lam = -c1[2] / bear_w[:, 2]
     ground = c1[None, :] + lam[:, None] * bear_w  # (4, 3) world pts
@@ -104,11 +94,6 @@ def position_from_flow(
     r2 = rot_i2w_j @ c_rot_i.T  # cam j -> world
 
     # u_k x R2^T (G_k - c2) = 0  ->  [u_k]x R2^T c2 = [u_k]x R2^T G_k
-    def skew(v):
-        return jnp.array(
-            [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], v.dtype
-        )
-
     a_rows = jax.vmap(lambda uk: skew(uk) @ r2.T)(u)  # (4, 3, 3)
     b_rows = jax.vmap(lambda uk, gk: skew(uk) @ (r2.T @ gk))(u, ground)
     a = a_rows.reshape(12, 3)
@@ -155,11 +140,10 @@ def generate_loop_factors(
         p_j_meas = position_from_flow(
             flow8.reshape(4, 2), p_i, q_i, q_j, c_rot_i, i_t_i2c
         )
-        # factor in the pose-graph convention (pose_graph.relative_pose)
-        rot_i = quat_to_rot(q_i)
-        dps.append(np.asarray(rot_i.T @ (p_j_meas - p_i)))
-        q_i_conj = q_i * jnp.array([1.0, -1, -1, -1])
-        dqs.append(np.asarray(quat_normalize(quat_mul(q_i_conj, q_j))))
+        # factor in the pose-graph convention
+        dp, dq = relative_pose(p_i, q_i, p_j_meas, q_j)
+        dps.append(np.asarray(dp))
+        dqs.append(np.asarray(dq))
     return LoopFactors(
         pairs=np.asarray(pairs),
         dp_meas=np.asarray(dps, np.float32).reshape(-1, 3),
