@@ -64,7 +64,11 @@ def main():
     t_itoc = np.eye(4)
     t_itoc[:3, :3] = np.diag([1.0, -1.0, -1.0])
     fparams = make_params(t_itoc)
-    model, params = init_uahn(jax.random.PRNGKey(0))
+    # production inference mode: bfloat16 conv towers (<=0.05 px flow
+    # delta vs f32; filter/homography algebra stays f32)
+    model, params = init_uahn(
+        jax.random.PRNGKey(0), compute_dtype=jnp.bfloat16
+    )
     cfg = VioConfig(max_iekf_iterations=1, use_prior=True)
 
     step = jax.jit(make_vio_step(model, params, fparams, cfg))

@@ -333,8 +333,11 @@ def cmd_run_vio(args):
             "(use 'make-synthetic' or the dataset converter)"
         )
 
+    import jax.numpy as jnp
+
     model, params = init_uahn(
-        jax.random.PRNGKey(0), blocks_to_run=opts.blocks_to_run
+        jax.random.PRNGKey(0), blocks_to_run=opts.blocks_to_run,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     if opts.network_weights_path or args.weights:
         params = load_params(args.weights or opts.network_weights_path, params)
@@ -727,7 +730,11 @@ def cmd_train_uahn(args):
     i_t_i2c = jnp.array(-t[:3, :3].T @ t[:3, 3], jnp.float32)
     params = train(
         model, params, c_rot_i, i_t_i2c,
-        TrainConfig(batch_size=args.batch_size, lr=args.lr),
+        TrainConfig(
+            batch_size=args.batch_size, lr=args.lr,
+            trans_sigma=args.trans_sigma, rot_sigma=args.rot_sigma,
+            prior_noise_px=args.prior_noise_px,
+        ),
         steps=args.steps, seed=args.seed,
         checkpoint_path=args.out, save_every=args.save_every,
     )
@@ -812,6 +819,8 @@ def main(argv=None):
     s.add_argument("--odom-out", default=None,
                    help="FRD odometry txt (visualize_odometry analog)")
     s.add_argument("--no-network", action="store_true", help="dead reckoning")
+    s.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv towers (~2x faster inference)")
     s.add_argument("--init-height", type=float, default=None,
                    help="override init_height (meters over the plane; the "
                         "launch files set this per dataset, uzhfpv.launch:66)")
@@ -900,6 +909,10 @@ def main(argv=None):
     s.add_argument("--config", default=None)
     s.add_argument("--resume", default=None,
                    help="continue from an existing weights checkpoint")
+    s.add_argument("--trans-sigma", type=float, default=0.06,
+                   help="inter-frame translation sigma (m)")
+    s.add_argument("--rot-sigma", type=float, default=0.025)
+    s.add_argument("--prior-noise-px", type=float, default=3.0)
     s.set_defaults(fn=cmd_train_uahn)
 
     args = p.parse_args(argv)

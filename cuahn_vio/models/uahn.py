@@ -30,7 +30,7 @@ Design deltas from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -60,9 +60,11 @@ class ConvTower(nn.Module):
     """
 
     specs: Sequence[tuple[int, int, int]]
+    dtype: Any = jnp.float32  # computation dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         for i, (feat, k, s) in enumerate(self.specs):
             p = (k - 1) // 2
             x = nn.Conv(
@@ -70,6 +72,7 @@ class ConvTower(nn.Module):
                 (k, k),
                 strides=(s, s),
                 padding=((p, p), (p, p)),
+                dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
             x = nn.leaky_relu(x, negative_slope=LEAK)
@@ -119,10 +122,15 @@ class UAHN(nn.Module):
     img_width: int = 320
     dropout_rate: float = 0.05
     blocks_to_run: int = 3
+    # bfloat16 halves conv-tower time on the MXU; the homography algebra,
+    # fc heads, and covariance path stay float32 (tower outputs are cast
+    # back before the fc layers)
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.block1 = ConvTower(
             [(CONV_PLANES[4], 7, 2), (CONV_PLANES[4], 5, 2), (CONV_PLANES[5], 3, 2)],
+            dtype=self.compute_dtype,
             name="block1",
         )
         self.fc_block1 = nn.Dense(8, name="fc_block1")
@@ -133,6 +141,7 @@ class UAHN(nn.Module):
                 (CONV_PLANES[5], 3, 2),
                 (CONV_PLANES[6], 3, 2),
             ],
+            dtype=self.compute_dtype,
             name="block2",
         )
         self.fc_block2 = nn.Dense(8, name="fc_block2")
@@ -145,6 +154,7 @@ class UAHN(nn.Module):
                 (CONV_PLANES[5], 3, 2),
                 (CONV_PLANES[6], 3, 2),
             ],
+            dtype=self.compute_dtype,
             name="block3",
         )
         self.fc_block3 = nn.Dense(8, name="fc_block3")
@@ -158,6 +168,7 @@ class UAHN(nn.Module):
                 (CONV_PLANES[5], 3, 2),
                 (CONV_PLANES[6], 3, 2),
             ],
+            dtype=self.compute_dtype,
             name="block4",
         )
         self.head_mean = McHead(8, self.dropout_rate, name="head_mean")
@@ -183,7 +194,7 @@ class UAHN(nn.Module):
         pair = jnp.stack([img1, img2_in], axis=-1)  # (H, W, 2)
         x = _avg_pool(pair, pool)
         x = tower(x[None])[0]
-        offset8 = fc(_flatten_nchw(x))
+        offset8 = fc(_flatten_nchw(x.astype(jnp.float32)))
         h_blk = dlt_solve(self.corners, self.corners + offset8.reshape(4, 2))
         return h_blk if first else h_uv @ h_blk
 
@@ -215,7 +226,9 @@ class UAHN(nn.Module):
         per-member NLL training and for the ensemble statistics."""
         img2_warped = homography_warp(img2, h_uv)
         pair = jnp.stack([img1, img2_warped], axis=-1)
-        feat = _flatten_nchw(self.block4(pair[None])[0])  # (5120,)
+        feat = _flatten_nchw(
+            self.block4(pair[None])[0].astype(jnp.float32)
+        )  # (5120,)
         means = self.head_mean(feat).reshape(MC_DROPOUT_NUM, 4, 2)
         logvars = self.head_logvar(feat).reshape(MC_DROPOUT_NUM, 4, 2) * 1e-3
         return means, logvars
@@ -315,14 +328,18 @@ def init_uahn(
     img_height: int = 224,
     img_width: int = 320,
     blocks_to_run: int = 3,
+    compute_dtype=jnp.float32,
 ):
     """Create the model and a randomly-initialized parameter pytree.
 
     The shipped pretrained weights are absent from the reference snapshot
     (.MISSING_LARGE_BLOBS); weights are produced by ``cuahn_vio.train``.
+    ``compute_dtype=jnp.bfloat16`` selects half-precision conv towers
+    (inference mode; params stay float32 and checkpoints interchange).
     """
     model = UAHN(
-        img_height=img_height, img_width=img_width, blocks_to_run=blocks_to_run
+        img_height=img_height, img_width=img_width,
+        blocks_to_run=blocks_to_run, compute_dtype=compute_dtype,
     )
     img = jnp.zeros((img_height, img_width), jnp.float32)
     params = model.init(
