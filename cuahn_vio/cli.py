@@ -1,16 +1,22 @@
 """Command-line tools: the ov_eval binaries + the VIO app, one entry point.
 
 Replaces (SURVEY.md §2.5-2.6, ov_eval/CMakeLists.txt:99-132):
-- run_subscribe_cuahn + pose_to_file -> ``run-vio`` (runs a sequence, writes
-  the stamped trajectory txt and optional timing csv)
+- run_subscribe_cuahn + pose_to_file -> ``run-vio`` (pose txt + timing csv +
+  state npz + FRD odometry), ``run-vio-batch`` (mesh-sharded multi-sequence)
 - error_singlerun.cpp                -> ``error-singlerun``
 - error_dataset.cpp                  -> ``error-dataset``
 - error_comparison.cpp               -> ``error-comparison``
+- error_simulation.cpp               -> ``error-simulation``
 - plot_trajectories.cpp              -> ``plot-trajectories``
 - format_converter.cpp               -> ``format-converter``
-- timing_percentages/comparison.cpp  -> ``timing-percentages``
-- (new) ``train-uahn``               -> produces network weights (the
-  reference ships none) and ``make-synthetic`` -> dataset files.
+- timing_{percentages,comparison,flamegraph}.cpp -> same names
+- live_align_trajectory.cpp          -> ``align-trajectory``
+- python/pid_{sys,ros}.py            -> ``pid-monitor``
+- show_photometric_error display     -> ``inspect-frame``
+- (new, no reference counterpart) ``train-uahn`` (the reference ships no
+  weights or training code), ``make-synthetic`` (incl. --traj-file B-spline
+  replay), ``convert-euroc``, ``close-loops`` + ``smooth-trajectory``
+  (pose-graph smoothing, --mesh = sharded Schur solve).
 
 Usage: ``python -m cuahn_vio.cli <command> ...``.
 """

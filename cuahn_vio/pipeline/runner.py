@@ -186,6 +186,20 @@ def run_stepwise(
     last_good = carry
     n_recoveries = 0
 
+    # warm-up compile on frame 0's inputs so the first timing row measures
+    # steady state, not jit (the reference warm-ups at construction,
+    # HomographyNet.cpp:28-63); the carry is discarded.
+    _warm, _ = step(
+        carry,
+        (
+            frames_dev[0], frames_dev[0],
+            jnp.array(win.w_mid[0]), jnp.array(win.a_mid[0]),
+            jnp.array(win.dt[0]), keys[0],
+        ),
+    )
+    jax.block_until_ready(_warm.state.p)
+    _ = health(_warm.state)
+
     rows, outs_list, stage = [], [], []
     for f in range(1, len(cam_used)):
         t_a = time.perf_counter()
