@@ -65,6 +65,17 @@ class FilterParams(NamedTuple):
     gravity: jnp.ndarray  # (3,)   [0, 0, -9.81] world FLU (Propagator.h:100)
     q_noise: jnp.ndarray  # (15, 15) process noise (Propagator.h:93-97)
     k_net_cov: jnp.ndarray  # scalar: measurement-cov tuning (UpdaterOptions.h:33)
+    # Mahalanobis (chi-square, 8 DoF) innovation gate: measurements whose
+    # normalized innovation exceeds this are rejected inside the jitted
+    # update. The reference has no outlier gate at all (SURVEY.md §5.3) and
+    # its shipped estimate ends in NaNs. The learned covariance is only
+    # calibrated to a factor of a few (replay median chi2 ~35 vs the ideal
+    # 8), so this is a catastrophe gate — far above the miscalibration
+    # level, well below the confident-but-wrong failures it exists to stop.
+    # Non-finite network outputs are always rejected regardless of the gate.
+    # (plain float default: creating a jnp array at class-definition time
+    # would initialize the backend on import, breaking platform selection)
+    chi2_gate: float = 1000.0
 
 
 def make_params(

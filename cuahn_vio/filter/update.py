@@ -10,10 +10,17 @@ Rebuilds cuahn_ros/cuahn/src/update/UpdaterHNet.{h,cpp}:
   correction with quaternion right-update (UpdaterHNet.cpp:28-61).
 - ``update_offset=False`` (last IEKF iteration, VioManager.cpp:261-263)
   applies the correction only to the 15 core states.
+
+New vs the reference (which has no outlier rejection and whose shipped
+estimate ends in NaNs — SURVEY.md §5.3): every measurement passes a
+finiteness check and a chi-square (8 DoF) Mahalanobis innovation gate
+inside the jitted update; rejected measurements leave the state exactly
+as propagated. ``FilterParams.chi2_gate`` tunes the gate.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cuahn_vio.filter.state import FOCAL, FOCAL2, FilterParams, FilterState
@@ -47,11 +54,24 @@ def hnet_update(
             correction (the offsets are about to be reset anyway).
     """
     dtype = state.p.dtype
+    # measurement validation (new vs the reference, SURVEY.md §5.3): a
+    # non-finite network output must never touch the state — sanitize it so
+    # the algebra below stays NaN-free, then reject via the accept mask.
+    meas_finite = jnp.logical_and(
+        jnp.all(jnp.isfinite(net_mean8)), jnp.all(jnp.isfinite(net_cov88))
+    )
+    net_mean8 = jnp.where(meas_finite, net_mean8, 0.0)
+    net_cov88 = jnp.where(meas_finite, net_cov88, jnp.eye(8, dtype=net_cov88.dtype))
+
     p_cols = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
     s_mat = p_cols[MEAS_IDX, :] + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
     k_gain = jnp.linalg.solve(s_mat.T, p_cols.T).T  # (27, 8) = P Hᵀ S⁻¹
 
     inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
+
+    # Mahalanobis gate: chi2 = innoᵀ S⁻¹ inno over 8 DoF
+    chi2 = inno @ jnp.linalg.solve(s_mat, inno)
+    accept = jnp.logical_and(meas_finite, chi2 < params.chi2_gate)
 
     # P <- (I - K H) P ; K H is K scattered into the measured columns
     kh = jnp.zeros((27, 27), dtype).at[:, MEAS_IDX].set(k_gain)
@@ -62,7 +82,7 @@ def hnet_update(
         d = d.at[15:].set(0.0)
 
     new_off = state.off + d[15:27].reshape(4, 3)
-    return FilterState(
+    updated = FilterState(
         p=state.p + d[0:3],
         q=quat_normalize(quat_mul(state.q, quat_exp(d[3:6]))),
         v=state.v + d[6:9],
@@ -70,4 +90,12 @@ def hnet_update(
         bg=state.bg + d[12:15],
         off=new_off,
         cov=new_cov,
+    )
+    # last-resort guard: even an accepted update must leave the state finite
+    upd_finite = jnp.all(jnp.isfinite(updated.cov))
+    for leaf in (updated.p, updated.q, updated.v, updated.ba, updated.bg):
+        upd_finite = jnp.logical_and(upd_finite, jnp.all(jnp.isfinite(leaf)))
+    accept = jnp.logical_and(accept, upd_finite)
+    return jax.tree.map(
+        lambda new, old: jnp.where(accept, new, old), updated, state
     )

@@ -49,6 +49,13 @@ CONV_PLANES = (8, 16, 32, 64, 128, 256, 256)
 FC_INPUT = 5120  # = 256 * 4 * 5
 MC_DROPOUT_NUM = 16  # model_to_trace.py:201
 LEAK = 0.1  # LeakyReLU slope, model_to_trace.py:12
+# inference-time bound on the (scaled) aleatoric log-variance: on degenerate
+# inputs (e.g. the camera looking off the textured plane) the raw head output
+# can exceed exp's float32 range and an inf variance poisons the EKF solve
+# into NaN. exp(11.5) ~ 1e5 px^2 (std ~316 px, wider than the image) already
+# means "no information" to the filter, so the clamp never binds on real
+# measurements.
+LOGVAR_CLAMP = 11.5
 
 
 class ConvTower(nn.Module):
@@ -239,6 +246,7 @@ class UAHN(nn.Module):
         Returns (warped-frame 4pt corner prediction (4,2),
                  ensemble variance (4,2))."""
         means, logvars = self.last_block_members(img1, img2, h_uv)
+        logvars = jnp.clip(logvars, -LOGVAR_CLAMP, LOGVAR_CLAMP)
         mean_avg = jnp.mean(means, axis=0)
         var_avg = jnp.mean(jnp.exp(logvars), axis=0)
         emp_var = jnp.mean(jnp.square(means - mean_avg[None]), axis=0)

@@ -1,6 +1,7 @@
 """EKF update + reset + initializer tests vs a straightforward numpy
 re-derivation of UpdaterHNet.cpp / StateHelper.cpp / InertialInitializer.cpp."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -172,3 +173,78 @@ def test_initial_state_assembly(rng):
     assert isinstance(st, FilterState)
     assert st.cov.shape == (27, 27)
     assert np.all(np.asarray(st.off) == 0)
+
+
+# ------------------------- measurement validation (new vs the reference) ---
+
+
+def _spd_state(rng):
+    state = make_state(rng)
+    a = rng.normal(size=(27, 27)) * 1e-3
+    cov = a @ a.T + np.eye(27) * 1e-4
+    return state._replace(cov=jnp.array(cov, jnp.float32))
+
+
+def test_update_rejects_nonfinite_measurement(rng):
+    params = make_params(T_ITOC)
+    state = _spd_state(rng)
+    mean8 = jnp.full(8, jnp.nan)
+    cov88 = jnp.eye(8) * jnp.inf
+    new = hnet_update(state, params, mean8, cov88, update_offset=True)
+    for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_update_rejects_outlier_by_chi2_gate(rng):
+    params = make_params(T_ITOC)
+    state = _spd_state(rng)
+    # confident (small cov) but wildly wrong flow -> huge Mahalanobis distance
+    mean8 = jnp.full(8, 150.0)  # ~1 rad of normalized offset error
+    cov88 = jnp.eye(8) * 0.25
+    new = hnet_update(state, params, mean8, cov88, update_offset=True)
+    np.testing.assert_array_equal(np.asarray(new.p), np.asarray(state.p))
+    # the same flow with an honest (huge) covariance passes the gate
+    honest = hnet_update(
+        state, params, mean8, jnp.eye(8) * 1e8, update_offset=True
+    )
+    assert np.isfinite(np.asarray(honest.cov)).all()
+    assert float(jnp.trace(honest.cov)) <= float(jnp.trace(state.cov)) + 1e-9
+
+
+def test_update_accepts_consistent_measurement(rng):
+    params = make_params(T_ITOC)
+    state = _spd_state(rng)
+    # measurement equal to the propagated offset prior: zero innovation,
+    # must be accepted and shrink the covariance
+    mean8 = propagated_offset8(state) * 159.5
+    cov88 = jnp.eye(8) * 4.0
+    new = hnet_update(state, params, mean8, cov88, update_offset=True)
+    assert float(jnp.trace(new.cov)) < float(jnp.trace(state.cov))
+
+
+def test_model_variance_finite_on_saturated_logvar_head():
+    """exp(logvar) must not overflow to inf even when the log-variance head
+    saturates (the failure that NaN-poisoned the filter on off-plane
+    frames): LOGVAR_CLAMP bounds the ensemble variance."""
+    import jax
+
+    from cuahn_vio.models.uahn import init_uahn
+
+    model, params = init_uahn(jax.random.PRNGKey(0))
+    # drive the head to an absurd output via a huge output-layer bias
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            x + 1e6
+            if any(getattr(k, "key", None) == "head_logvar" for k in path)
+            and any(getattr(k, "key", None) == "bias" for k in path)
+            and x.shape == (8,)
+            else x
+        ),
+        params,
+    )
+    img = jnp.zeros((224, 320), jnp.float32)
+    flow8, cov88 = model.apply(
+        {"params": params}, img, img, jnp.zeros((4, 2)), use_prior=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(cov88)).all()
