@@ -740,6 +740,8 @@ def cmd_train_uahn(args):
             batch_size=args.batch_size, lr=args.lr,
             trans_sigma=args.trans_sigma, rot_sigma=args.rot_sigma,
             prior_noise_px=args.prior_noise_px,
+            height_range=(args.height_min, args.height_max),
+            tilt_sigma=args.tilt_sigma,
         ),
         steps=args.steps, seed=args.seed,
         checkpoint_path=args.out, save_every=args.save_every,
@@ -919,6 +921,14 @@ def main(argv=None):
                    help="inter-frame translation sigma (m)")
     s.add_argument("--rot-sigma", type=float, default=0.025)
     s.add_argument("--prior-noise-px", type=float, default=3.0)
+    s.add_argument("--height-min", type=float, default=0.8,
+                   help="camera height range sampled during training (m); "
+                        "flow magnitude scales as translation/height, so the "
+                        "low end controls the hardest samples")
+    s.add_argument("--height-max", type=float, default=3.0)
+    s.add_argument("--tilt-sigma", type=float, default=0.12,
+                   help="absolute roll/pitch sigma (rad); large values "
+                        "include near-horizon views with little ground texture")
     s.set_defaults(fn=cmd_train_uahn)
 
     args = p.parse_args(argv)

@@ -86,6 +86,7 @@ def make_params(
     sigma_wb: float = 8.94427e-4,
     sigma_ab: float = 0.04472136,
     k_net_cov: float = 10.0,
+    chi2_gate: float = 1000.0,
     dtype=jnp.float32,
 ) -> FilterParams:
     """Build FilterParams from the 4x4 T_ItoC extrinsic and noise densities.
@@ -109,6 +110,7 @@ def make_params(
         gravity=jnp.array([0.0, 0.0, -gravity_mag], dtype),
         q_noise=q,
         k_net_cov=jnp.asarray(k_net_cov, dtype),
+        chi2_gate=jnp.asarray(chi2_gate, dtype),
     )
 
 

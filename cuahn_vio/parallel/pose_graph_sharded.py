@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cuahn_vio.parallel.pose_graph import (
@@ -254,7 +254,7 @@ def optimize_sharded(
         mesh=mesh,
         in_specs=(blk, blk, rep, rep, (blk,) * 7),
         out_specs=(blk, blk, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def run(p_int, q_int, p_sep, q_sep, fac):
         # leading block axis is size 1 per device -> drop it inside

@@ -62,6 +62,9 @@ class VioOptions:
     # updater (UpdaterOptions.h:33, uzhfpv.launch:65)
     up_linear_k_hnet_cov: float = 10.0
     update_gate_frames: int = 10  # VioManager.cpp:257
+    # chi-square(8) Mahalanobis catastrophe gate on the innovation (new vs
+    # the reference, which has no outlier rejection — filter/update.py)
+    chi2_gate: float = 1000.0
 
     # network (uzhfpv.launch:56-59)
     use_network: bool = True
@@ -139,6 +142,7 @@ class VioOptions:
             sigma_wb=self.gyroscope_random_walk,
             sigma_ab=self.accelerometer_random_walk,
             k_net_cov=self.up_linear_k_hnet_cov,
+            chi2_gate=self.chi2_gate,
         )
 
     def vio_config(self) -> VioConfig:
