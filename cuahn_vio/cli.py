@@ -366,6 +366,7 @@ def cmd_run_vio(args):
             args.state_out,
             times=res.times, pose=res.pose_w, v_body=res.v_body,
             ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
+            net_chi2=res.net_chi2,
         )
         print(f"wrote full state -> {args.state_out}")
     if args.odom_out:
@@ -375,6 +376,17 @@ def cmd_run_vio(args):
         print(f"wrote odometry -> {args.odom_out}")
     if res.n_recoveries:
         print(f"divergence guard fired {res.n_recoveries}x (state rolled back)")
+    if model is not None and res.net_chi2 is not None:
+        chi2 = res.net_chi2[np.isfinite(res.net_chi2)]
+        rejected = int((res.net_chi2 >= opts.chi2_gate).sum()) + int(
+            (~np.isfinite(res.net_chi2)).sum()
+        )
+        if len(chi2):
+            print(
+                "innovation chi2 (8 DoF): median "
+                f"{np.median(chi2):.1f}, p95 {np.percentile(chi2, 95):.1f}; "
+                f"{rejected} of {len(res.net_chi2)} measurements gated out"
+            )
 
 
 def cmd_make_synthetic(args):

@@ -38,6 +38,35 @@ def propagated_offset8(state: FilterState) -> jnp.ndarray:
 
 
 @f32_precision
+def innovation_stats(
+    state: FilterState,
+    params: FilterParams,
+    net_mean8: jnp.ndarray,
+    net_cov88: jnp.ndarray,
+):
+    """Innovation, innovation covariance and Mahalanobis distance of one
+    measurement against the propagated state — the per-frame consistency
+    statistic (an online NEES; the reference computes NEES only offline in
+    ov_eval). Non-finite measurements are sanitized so downstream algebra
+    stays NaN-free; the returned ``meas_finite`` flags them for rejection.
+
+    Returns (inno (8,), s_mat (8, 8), chi2 (), meas_finite ()).
+    """
+    dtype = state.p.dtype
+    meas_finite = jnp.logical_and(
+        jnp.all(jnp.isfinite(net_mean8)), jnp.all(jnp.isfinite(net_cov88))
+    )
+    net_mean8 = jnp.where(meas_finite, net_mean8, 0.0)
+    net_cov88 = jnp.where(meas_finite, net_cov88, jnp.eye(8, dtype=net_cov88.dtype))
+
+    p_meas = state.cov[MEAS_IDX][:, MEAS_IDX]  # H P Hᵀ (8, 8)
+    s_mat = p_meas + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
+    inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
+    chi2 = inno @ jnp.linalg.solve(s_mat, inno)
+    return inno, s_mat, chi2, meas_finite
+
+
+@f32_precision
 def hnet_update(
     state: FilterState,
     params: FilterParams,
@@ -54,23 +83,11 @@ def hnet_update(
             correction (the offsets are about to be reset anyway).
     """
     dtype = state.p.dtype
-    # measurement validation (new vs the reference, SURVEY.md §5.3): a
-    # non-finite network output must never touch the state — sanitize it so
-    # the algebra below stays NaN-free, then reject via the accept mask.
-    meas_finite = jnp.logical_and(
-        jnp.all(jnp.isfinite(net_mean8)), jnp.all(jnp.isfinite(net_cov88))
+    inno, s_mat, chi2, meas_finite = innovation_stats(
+        state, params, net_mean8, net_cov88
     )
-    net_mean8 = jnp.where(meas_finite, net_mean8, 0.0)
-    net_cov88 = jnp.where(meas_finite, net_cov88, jnp.eye(8, dtype=net_cov88.dtype))
-
     p_cols = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
-    s_mat = p_cols[MEAS_IDX, :] + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
     k_gain = jnp.linalg.solve(s_mat.T, p_cols.T).T  # (27, 8) = P Hᵀ S⁻¹
-
-    inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
-
-    # Mahalanobis gate: chi2 = innoᵀ S⁻¹ inno over 8 DoF
-    chi2 = inno @ jnp.linalg.solve(s_mat, inno)
     accept = jnp.logical_and(meas_finite, chi2 < params.chi2_gate)
 
     # P <- (I - K H) P ; K H is K scattered into the measured columns

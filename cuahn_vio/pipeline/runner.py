@@ -58,6 +58,7 @@ class RunResult(NamedTuple):
     bg: Optional[np.ndarray] = None  # (F, 3) gyro bias estimate
     cov_diag: Optional[np.ndarray] = None  # (F, 15) core cov diagonal
     n_recoveries: int = 0  # divergence-guard rollbacks (stepwise runner)
+    net_chi2: Optional[np.ndarray] = None  # (F,) innovation chi2 per frame
 
 
 def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
@@ -97,6 +98,7 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
         ba=np.asarray(out.ba),
         bg=np.asarray(out.bg),
         cov_diag=np.asarray(out.cov_diag),
+        net_chi2=np.asarray(out.net_chi2),
     )
 
 

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 
 from cuahn_vio.filter.state import FOCAL, FilterParams, FilterState, reset_4pt_offset
 from cuahn_vio.filter.propagate import propagate_window
-from cuahn_vio.filter.update import hnet_update, propagated_offset8
+from cuahn_vio.filter.update import (
+    hnet_update,
+    innovation_stats,
+    propagated_offset8,
+)
 from cuahn_vio.ops.quat import quat_to_rot
 
 
@@ -58,6 +62,8 @@ class FrameOutput(NamedTuple):
     ba: jnp.ndarray  # (3,) accel bias estimate
     bg: jnp.ndarray  # (3,) gyro bias estimate
     cov_diag: jnp.ndarray  # (15,) core error-state covariance diagonal
+    net_chi2: jnp.ndarray  # () innovation Mahalanobis distance (8 DoF);
+    # >= FilterParams.chi2_gate means the measurement was rejected
 
 
 class VioCarry(NamedTuple):
@@ -84,6 +90,7 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
 
         net_mean = jnp.zeros(8, state.p.dtype)
         net_cov_tr = jnp.zeros((), state.p.dtype)
+        net_chi2 = jnp.zeros((), state.p.dtype)
         if model is not None:
             img1 = img_prev_u8.astype(jnp.float32) / 255.0
             img2 = img_curr_u8.astype(jnp.float32) / 255.0
@@ -101,6 +108,7 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                 )
                 update_offset = it != cfg.max_iekf_iterations - 1
                 gate = carry.frame_idx > cfg.update_gate_frames
+                _, _, net_chi2, _ = innovation_stats(state, fparams, flow8, cov88)
                 state = jax.lax.cond(
                     gate,
                     lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
@@ -121,6 +129,7 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
             ba=state.ba,
             bg=state.bg,
             cov_diag=jnp.diagonal(state.cov)[:15],
+            net_chi2=net_chi2,
         )
 
         # 3. reset (VioManager.cpp:275)
@@ -180,6 +189,7 @@ def run_sequence_with_measurements(
     def step(carry: VioCarry, xs):
         z, r, valid, w, a, dts = xs
         state = propagate_window(carry.state, fparams, w, a, dts)
+        _, _, chi2, _ = innovation_stats(state, fparams, z, r)
         gate = jnp.logical_and(valid, carry.frame_idx > cfg.update_gate_frames)
         state = jax.lax.cond(
             gate,
@@ -198,6 +208,7 @@ def run_sequence_with_measurements(
             ba=state.ba,
             bg=state.bg,
             cov_diag=jnp.diagonal(state.cov)[:15],
+            net_chi2=chi2,
         )
         state = reset_4pt_offset(state)
         return VioCarry(state=state, frame_idx=carry.frame_idx + 1), out
