@@ -650,6 +650,60 @@ def cmd_run_vio_batch(args):
         print(f"{path}: {nf} frames -> {dst}")
 
 
+def cmd_track_features(args):
+    """Sparse KLT feature tracking over a sequence (the TPU-native analog of
+    the reference's test_tracking demo, ov_core/src/test_tracking.cpp):
+    grid-detect corners, track them frame to frame, re-detect in cells whose
+    track died, and write per-frame track arrays."""
+    import jax.numpy as jnp
+
+    from cuahn_vio.vision import grid_detect, track_pyramidal
+
+    d = np.load(args.sequence)
+    frames = d["frames"]
+    n = min(len(frames), args.max_frames or len(frames))
+    pts, valid, _ = grid_detect(
+        jnp.array(frames[0], jnp.float32) / 255.0,
+        grid_y=args.grid_y, grid_x=args.grid_x,
+    )
+    track_id = np.arange(pts.shape[0])
+    next_id = pts.shape[0]
+    all_pts, all_valid, all_ids = [np.asarray(pts)], [np.asarray(valid)], [
+        track_id.copy()
+    ]
+    t0 = time.perf_counter()
+    for f in range(1, n):
+        img1 = jnp.array(frames[f - 1], jnp.float32) / 255.0
+        img2 = jnp.array(frames[f], jnp.float32) / 255.0
+        pts2, ok = track_pyramidal(img1, img2, jnp.array(all_pts[-1]))
+        ok = np.asarray(ok) & all_valid[-1]
+        # re-detect: refill dead slots from this frame's grid detection
+        fresh_pts, fresh_valid, _ = grid_detect(
+            img2, grid_y=args.grid_y, grid_x=args.grid_x
+        )
+        pts2 = np.array(pts2)  # writable copy (np.asarray of a jax array is read-only)
+        dead = ~ok & np.asarray(fresh_valid)
+        pts2[dead] = np.asarray(fresh_pts)[dead]
+        track_id = track_id.copy()
+        track_id[dead] = next_id + np.arange(int(dead.sum()))
+        next_id += int(dead.sum())
+        all_pts.append(pts2)
+        all_valid.append(ok | dead)
+        all_ids.append(track_id)
+    dt_ms = (time.perf_counter() - t0) * 1e3 / max(n - 1, 1)
+    lifetimes = np.asarray(all_ids[-1]) == np.asarray(all_ids[0])
+    print(
+        f"tracked {len(all_pts[0])} slots over {n} frames, "
+        f"{dt_ms:.2f} ms/frame; {int(lifetimes.sum())} survivors from frame 0"
+    )
+    np.savez_compressed(
+        args.out,
+        pts=np.stack(all_pts), valid=np.stack(all_valid),
+        ids=np.stack(all_ids), times=d["cam_t"][:n],
+    )
+    print(f"wrote tracks -> {args.out}")
+
+
 def cmd_inspect_frame(args):
     """Run the network on one frame pair of a sequence and dump diagnostics:
     predicted flow/covariance and the photometric error map
@@ -911,6 +965,16 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--out", default="inspect_frame.png")
     s.set_defaults(fn=cmd_inspect_frame)
+
+    s = sub.add_parser(
+        "track-features", help="sparse KLT tracking demo (test_tracking parity)"
+    )
+    s.add_argument("sequence", help=".npz sequence")
+    s.add_argument("--out", default="tracks.npz")
+    s.add_argument("--grid-y", type=int, default=8)
+    s.add_argument("--grid-x", type=int, default=10)
+    s.add_argument("--max-frames", type=int, default=None)
+    s.set_defaults(fn=cmd_track_features)
 
     s = sub.add_parser("convert-euroc", help="EuRoC-ASL dir -> sequence .npz")
     s.add_argument("root", help="dataset root containing mav0/")
