@@ -25,3 +25,33 @@ downward-facing drone cameras over planar ground), re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache for every entry point.
+
+    TPU compiles of the fused vio_step are expensive (minutes on a cold
+    backend); the reference pays an analogous warm-up per process
+    (HomographyNet.cpp:28-63 times its first traced-graph forward). Caching
+    compiled executables on disk makes every CLI invocation after the first
+    start in seconds. Opt out with CUAHN_VIO_NO_COMPILE_CACHE=1; relocate
+    with CUAHN_VIO_COMPILE_CACHE=<dir>.
+    """
+    if _os.environ.get("CUAHN_VIO_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("CUAHN_VIO_COMPILE_CACHE", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
