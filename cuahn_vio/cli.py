@@ -808,6 +808,10 @@ def cmd_train_uahn(args):
             prior_noise_px=args.prior_noise_px,
             height_range=(args.height_min, args.height_max),
             tilt_sigma=args.tilt_sigma,
+            use_textures=not args.no_textures,
+            use_effects=not args.no_effects,
+            exposure_frac_max=args.exposure_frac_max,
+            max_flow_px=args.max_flow_px,
         ),
         steps=args.steps, seed=args.seed,
         checkpoint_path=args.out, save_every=args.save_every,
@@ -1005,6 +1009,16 @@ def main(argv=None):
     s.add_argument("--tilt-sigma", type=float, default=0.12,
                    help="absolute roll/pitch sigma (rad); large values "
                         "include near-horizon views with little ground texture")
+    s.add_argument("--no-textures", action="store_true",
+                   help="disable the real-photo texture bank (round-1 "
+                        "procedural sinusoid ground)")
+    s.add_argument("--no-effects", action="store_true",
+                   help="disable sensor-effect augmentation (vignette, "
+                        "exposure, noise, defocus, motion blur)")
+    s.add_argument("--exposure-frac-max", type=float, default=0.5,
+                   help="max motion-blur exposure, fraction of frame dt")
+    s.add_argument("--max-flow-px", type=float, default=80.0,
+                   help="samples with corner flow beyond this are masked")
     s.set_defaults(fn=cmd_train_uahn)
 
     args = p.parse_args(argv)

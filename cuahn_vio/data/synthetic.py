@@ -125,6 +125,8 @@ def render_frame(
     texture_key: jax.Array | None = None,
     height: int = 224,
     width: int = 320,
+    texture: jnp.ndarray | None = None,
+    tex_params: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Render the virtual camera's view of the textured ground plane.
 
@@ -132,6 +134,9 @@ def render_frame(
         p_w: (3,) IMU position in world frame.
         q_i2w: (4,) Hamilton wxyz IMU->world.
         c_rot_i / i_t_i2c: camera extrinsics (FilterParams convention).
+        texture / tex_params: optional (T, T) image texture + similarity
+            transform (data/textures.py); falls back to the procedural
+            sum-of-sinusoids ground when absent.
     Returns:
         (H, W) float32 image in [0, 1]; pixels whose rays miss the plane
         (pointing up) render 0.
@@ -150,10 +155,43 @@ def render_frame(
     lam = -cam_center[2] / d_w[..., 2]
     valid = lam > 0
     ground = cam_center[None, None, :2] + lam[..., None] * d_w[..., :2]
-    if texture_key is None:
-        texture_key = jax.random.PRNGKey(0)
-    tex = ground_texture(ground, texture_key)
+    if texture is not None:
+        from cuahn_vio.data.textures import default_tex_params, sample_plane
+
+        if tex_params is None:
+            tex_params = default_tex_params()
+        tex = sample_plane(texture, ground, tex_params)
+    else:
+        if texture_key is None:
+            texture_key = jax.random.PRNGKey(0)
+        tex = ground_texture(ground, texture_key)
     return jnp.where(valid, tex, 0.0).astype(jnp.float32)
+
+
+def render_frame_blurred(
+    p_taps: jnp.ndarray,
+    q_taps: jnp.ndarray,
+    c_rot_i: jnp.ndarray,
+    i_t_i2c: jnp.ndarray,
+    texture_key: jax.Array | None = None,
+    height: int = 224,
+    width: int = 320,
+    texture: jnp.ndarray | None = None,
+    tex_params: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Motion-blurred frame: mean of renders at the exposure-window poses.
+
+    ``p_taps``/``q_taps`` are (K, 3)/(K, 4) poses sampled across the
+    exposure interval — physically exact blur (each tap is a sharp render
+    of the same rigid scene), unlike a screen-space directional filter.
+    """
+    imgs = jax.vmap(
+        lambda p, q: render_frame(
+            p, q, c_rot_i, i_t_i2c, texture_key, height, width,
+            texture, tex_params,
+        )
+    )(p_taps, q_taps)
+    return jnp.mean(imgs, axis=0)
 
 
 class SyntheticSequence(NamedTuple):
@@ -183,12 +221,25 @@ def make_sequence(
     bias_a: float = 0.0,
     texture_seed: int = 0,
     gravity_mag: float = 9.81,
+    texture: np.ndarray | None = None,
+    tex_params: np.ndarray | None = None,
+    exposure_s: float = 0.0,
+    effects: "object | None" = None,
+    effects_seed: int = 0,
 ) -> SyntheticSequence:
     """Full synthetic flight: t_still seconds stationary (so the reference's
     jerk initializer fires), then the analytic trajectory.
 
     During the still phase the drone hovers at traj(t=0) pose: the IMU reads
     exactly (0, -R^T g); motion starts at t_still.
+
+    Imagery realism knobs (all off by default, round-1 compatible):
+        texture/tex_params: photo ground texture (data/textures.py) instead
+            of the procedural sinusoid field.
+        exposure_s: camera exposure time; > 0 renders 3 pose taps across
+            the exposure window and averages (physical motion blur).
+        effects: sensor_effects.EffectsConfig — vignette/exposure/noise
+            chain with per-sequence lens params and per-frame noise.
     """
     rng = np.random.default_rng(seed)
     t_imu_to_cam = np.asarray(t_imu_to_cam, np.float64)
@@ -223,16 +274,58 @@ def make_sequence(
     pose_fn = jax.jit(
         jax.vmap(lambda t: (traj.pos_w(t), traj.quat_i2w(t)))
     )
-    p_cams, q_cams = pose_fn(jnp.array(cam_t - t_still, jnp.float32))
+
+    tex_key = jax.random.PRNGKey(texture_seed)
+    tex_dev = None if texture is None else jnp.asarray(texture, jnp.float32)
+    tp_dev = None if tex_params is None else jnp.asarray(tex_params, jnp.float32)
+
+    n_taps = 3 if exposure_s > 0.0 else 1
+    # exposure window ends at the stamped frame time; clamp taps into the
+    # moving phase so the still frames stay still
+    tap_off = np.linspace(-exposure_s, 0.0, n_taps)
+    tap_t = np.maximum((cam_t - t_still)[:, None] + tap_off[None, :], 0.0)
+    p_taps, q_taps = pose_fn(jnp.array(tap_t.reshape(-1), jnp.float32))
+    p_taps = p_taps.reshape(len(cam_t), n_taps, 3)
+    q_taps = q_taps.reshape(len(cam_t), n_taps, 4)
+
+    render = jax.jit(
+        lambda ps, qs: render_frame_blurred(
+            ps, qs, c_rot_i, i_t_i2c, tex_key,
+            texture=tex_dev, tex_params=tp_dev,
+        )
+    )
+
+    if effects is not None:
+        from cuahn_vio.data.sensor_effects import apply_photometric, draw_params
+
+        ek = jax.random.PRNGKey(effects_seed)
+        k_par, k_sig, k_frames = jax.random.split(ek, 3)
+        eff_params = draw_params(k_par, effects)
+        defocus = jax.random.uniform(k_sig, maxval=effects.defocus_sigma_max)
+        # slow auto-exposure drift: smooth random walk on the gain
+        drift = np.clip(
+            np.cumsum(
+                np.random.default_rng(effects_seed).normal(
+                    0.0, effects.gain_drift / 5.0, len(cam_t)
+                )
+            ),
+            -0.25, 0.25,
+        ).astype(np.float32)
+        frame_keys = jax.random.split(k_frames, len(cam_t))
+        apply_fx = jax.jit(
+            lambda img, k, d: apply_photometric(
+                img, k, eff_params.at[1].multiply(1.0 + d), defocus
+            )
+        )
+    else:
+        apply_fx = None
 
     frames = np.zeros((len(cam_t), 224, 320), np.uint8)
-    tex_key = jax.random.PRNGKey(texture_seed)
-    render = jax.jit(
-        lambda p, q: render_frame(p, q, c_rot_i, i_t_i2c, tex_key)
-    )
     for i in range(len(cam_t)):
-        img = np.asarray(render(p_cams[i], q_cams[i]))
-        frames[i] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        img = render(p_taps[i], q_taps[i])
+        if apply_fx is not None:
+            img = apply_fx(img, frame_keys[i], drift[i])
+        frames[i] = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
 
     # GT at IMU rate, world frame, file convention [x y z qx qy qz qw]
     gt_fn = jax.jit(

@@ -2,6 +2,7 @@ from cuahn_vio.ops.quat import (  # noqa: F401
     skew,
     quat_mul,
     quat_exp,
+    quat_log,
     quat_normalize,
     quat_to_rot,
     rot_to_quat,

@@ -67,6 +67,24 @@ def quat_exp(rot_vec: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([w, sinc_half * rot_vec], axis=-1)
 
 
+def quat_log(q: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector of a unit quaternion (inverse of quat_exp).
+
+    Safe at the identity; assumes the short arc (w >= 0 enforced by sign
+    flip, since q and -q are the same rotation). No reference counterpart —
+    needed by the renderer's motion-blur pose interpolation.
+    """
+    q = q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    v = q[..., 1:4]
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    n = jnp.sqrt(n2 + _EPS)
+    angle = 2.0 * jnp.arctan2(n, w)
+    # angle / sin(angle/2) with series fallback 2 + angle^2/12 near 0
+    scale = jnp.where(n2 > 1e-16, angle / n, 2.0 + angle * angle / 12.0)
+    return scale * v
+
+
 def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
     """Normalize to unit quaternion (quatnorm, quat_ops.h:479)."""
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)

@@ -29,7 +29,7 @@ import numpy as np
 import optax
 
 from cuahn_vio.data.oracle import true_corner_flow
-from cuahn_vio.data.synthetic import render_frame
+from cuahn_vio.data.synthetic import render_frame, render_frame_blurred
 from cuahn_vio.filter.state import FOCAL
 from cuahn_vio.models.uahn import UAHN
 from cuahn_vio.ops.quat import quat_exp, quat_mul
@@ -51,6 +51,13 @@ class TrainConfig:
     trans_sigma: float = 0.06  # inter-frame translation (m), ~v/fps
     rot_sigma: float = 0.025  # inter-frame rotation (rad)
     tilt_sigma: float = 0.12  # absolute roll/pitch (rad)
+    # imagery realism (round 2): photo textures + sensor degradation
+    use_textures: bool = True  # real-photo ground textures (data/textures.py)
+    tex_scale_range: tuple = (1.5, 10.0)  # metres per texture period
+    use_effects: bool = True  # vignette/exposure/noise chain
+    exposure_frac_max: float = 0.5  # max exposure as fraction of frame dt
+    blur_taps: int = 3  # pose taps per motion-blurred render
+    max_flow_px: float = 80.0  # samples beyond this are masked from the loss
 
 
 class Batch(NamedTuple):
@@ -58,11 +65,22 @@ class Batch(NamedTuple):
     img2: jnp.ndarray  # (B, H, W)
     gt_flow: jnp.ndarray  # (B, 8) pixels
     prior: jnp.ndarray  # (B, 4, 2) noisy prior, pixels
+    valid: jnp.ndarray  # (B,) f32 — 0 masks degenerate samples from the loss
 
 
-def sample_pair(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width):
-    """One synthetic training pair + exact corner-flow label, on device."""
-    ks = jax.random.split(key, 8)
+def sample_pair(
+    key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width,
+    tex_bank=None, tex_indices=None,
+):
+    """One synthetic training pair + exact corner-flow label, on device.
+
+    With ``tex_bank``/``tex_indices`` (device arrays from
+    data/textures.py), the ground is a randomly transformed real photo and
+    both frames carry motion blur + the sensor-effect chain — the imagery
+    the deployed system actually sees (real undistorted camera frames,
+    VioManager.cpp:183-188). Without them, the round-1 procedural texture.
+    """
+    ks = jax.random.split(key, 12)
     p1 = jnp.array([0.0, 0.0, 0.0]).at[2].set(
         jax.random.uniform(
             ks[0], minval=cfg.height_range[0], maxval=cfg.height_range[1]
@@ -76,13 +94,51 @@ def sample_pair(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width):
     )
     q1 = quat_exp(rv1)
     dp = jax.random.normal(ks[3], (3,)) * cfg.trans_sigma
-    dq = quat_exp(jax.random.normal(ks[4], (3,)) * cfg.rot_sigma)
+    rv_d = jax.random.normal(ks[4], (3,)) * cfg.rot_sigma
+    dq = quat_exp(rv_d)
     p2 = p1 + dp
     q2 = quat_mul(q1, dq)
 
-    tex_key = ks[5]
-    img1 = render_frame(p1, q1, c_rot_i, i_t_i2c, tex_key, height, width)
-    img2 = render_frame(p2, q2, c_rot_i, i_t_i2c, tex_key, height, width)
+    if tex_bank is not None:
+        from cuahn_vio.data.textures import random_tex_params
+
+        idx = tex_indices[
+            jax.random.randint(ks[5], (), 0, tex_indices.shape[0])
+        ]
+        texture = tex_bank[idx]
+        tex_params = random_tex_params(ks[7], cfg.tex_scale_range)
+        # physical motion blur: poses across the exposure window
+        # [t - ef*dt, t] for both frames, along the inter-frame motion
+        ef = jax.random.uniform(ks[8], maxval=cfg.exposure_frac_max)
+        betas = jnp.linspace(-1.0, 0.0, cfg.blur_taps) * ef
+
+        def taps(p, q):
+            ps = p[None] + betas[:, None] * dp[None]
+            qs = jax.vmap(lambda b: quat_mul(q, quat_exp(b * rv_d)))(betas)
+            return ps, qs
+
+        p1s, q1s = taps(p1, q1)
+        p2s, q2s = taps(p2, q2)
+        img1 = render_frame_blurred(
+            p1s, q1s, c_rot_i, i_t_i2c, None, height, width,
+            texture, tex_params,
+        )
+        img2 = render_frame_blurred(
+            p2s, q2s, c_rot_i, i_t_i2c, None, height, width,
+            texture, tex_params,
+        )
+        if cfg.use_effects:
+            from cuahn_vio.data.sensor_effects import (
+                EffectsConfig, apply_effects_pair,
+            )
+
+            img1, img2 = apply_effects_pair(
+                img1, img2, ks[9], EffectsConfig()
+            )
+    else:
+        tex_key = ks[5]
+        img1 = render_frame(p1, q1, c_rot_i, i_t_i2c, tex_key, height, width)
+        img2 = render_frame(p2, q2, c_rot_i, i_t_i2c, tex_key, height, width)
     # quantize to u8 levels: the deployed pipeline feeds /255-normalized
     # uint8 frames (HomographyNet.cpp:139-146), and the pallas warp's
     # exact_u8 fast path relies on k/255-valued inputs
@@ -93,16 +149,24 @@ def sample_pair(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width):
     prior = gt_flow.reshape(4, 2) + jax.random.normal(ks[6], (4, 2)) * (
         cfg.prior_noise_px * (width - 1) / 319.0
     )
-    return img1, img2, gt_flow, prior
+    # mask geometrically degenerate draws (corners flung far off-image blow
+    # up the cascade loss — the step-39800 spike in train4.log)
+    valid = jnp.all(jnp.abs(gt_flow) < cfg.max_flow_px).astype(jnp.float32)
+    return img1, img2, gt_flow, prior, valid
 
 
-def make_batch(key, c_rot_i, i_t_i2c, cfg: TrainConfig, height=224, width=320):
+def make_batch(
+    key, c_rot_i, i_t_i2c, cfg: TrainConfig, height=224, width=320,
+    tex_bank=None, tex_indices=None,
+):
     keys = jax.random.split(key, cfg.batch_size)
     f = jax.vmap(
-        lambda k: sample_pair(k, c_rot_i, i_t_i2c, cfg, height, width)
+        lambda k: sample_pair(
+            k, c_rot_i, i_t_i2c, cfg, height, width, tex_bank, tex_indices
+        )
     )
-    img1, img2, gt, prior = f(keys)
-    return Batch(img1=img1, img2=img2, gt_flow=gt, prior=prior)
+    img1, img2, gt, prior, valid = f(keys)
+    return Batch(img1=img1, img2=img2, gt_flow=gt, prior=prior, valid=valid)
 
 
 def _warped_frame_gt(h_part1, gt_flow, corners):
@@ -159,12 +223,13 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
                 params, i1, i2, g, pr, use_prior, k
             )
         )(batch.img1, batch.img2, batch.gt_flow, batch.prior, keys)
-        # a degenerate sample (singular DLT) must not poison the batch
-        finite = jnp.isfinite(losses)
-        losses = jnp.where(finite, losses, 0.0)
-        denom = jnp.maximum(jnp.sum(finite), 1)
+        # a degenerate sample (singular DLT / off-image corner flow) must
+        # not poison the batch: mask non-finite AND invalid-geometry draws
+        w = batch.valid * jnp.isfinite(losses).astype(jnp.float32)
+        losses = jnp.where(w > 0, losses, 0.0) * w
+        denom = jnp.maximum(jnp.sum(w), 1.0)
         return jnp.sum(losses) / denom, jax.tree.map(
-            lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)) / denom, aux
+            lambda x: jnp.sum(jnp.where(w > 0, x, 0.0) * w) / denom, aux
         )
 
     return loss_fn
@@ -234,7 +299,13 @@ def train(
     save_every: int = 500,
 ):
     """Run the training loop; returns trained params. Saves intermediate
-    checkpoints to ``checkpoint_path`` every ``save_every`` steps."""
+    checkpoints to ``checkpoint_path`` every ``save_every`` steps.
+
+    Data parallelism: with more than one visible device (and batch_size a
+    multiple of the device count) the batch is sharded over a 1-D ``seq``
+    mesh and the params/optimizer state replicated; XLA inserts the
+    gradient all-reduce. Single device runs the same code unsharded.
+    """
     # batched training warps are fastest via the XLA matmul formulation
     # (a vmapped pallas_call grid serializes; measured ~5x step-time hit)
     from cuahn_vio.ops import warp as _warp
@@ -248,13 +319,48 @@ def train(
     tx = make_optimizer(cfg, sched)
     opt_state = tx.init(params)
     step_fn = make_train_step(model, cfg, tx)
-    gen = jax.jit(
-        lambda k: make_batch(k, c_rot_i, i_t_i2c, cfg, height, width)
-    )
+
+    if cfg.use_textures:
+        from cuahn_vio.data.textures import get_texture_bank, train_indices
+
+        bank_np = get_texture_bank()
+        tex_bank = jnp.asarray(bank_np)
+        tex_idx = jnp.asarray(train_indices(len(bank_np)))
+        log_fn(
+            f"texture bank: {len(bank_np)} textures, "
+            f"{tex_idx.shape[0]} in training split", flush=True,
+        )
+    else:
+        tex_bank = tex_idx = None
+
+    n_dev = len(jax.devices())
+    batch_out_shardings = None
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cuahn_vio.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("seq"))
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        if tex_bank is not None:
+            tex_bank = jax.device_put(tex_bank, rep)
+            tex_idx = jax.device_put(tex_idx, rep)
+        batch_out_shardings = Batch(
+            img1=shard, img2=shard, gt_flow=shard, prior=shard, valid=shard
+        )
+        log_fn(f"data-parallel over {n_dev} devices (seq mesh)", flush=True)
+
+    def _gen(k, bank, idx):
+        return make_batch(k, c_rot_i, i_t_i2c, cfg, height, width, bank, idx)
+
+    gen = jax.jit(_gen, out_shardings=batch_out_shardings)
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         key, kb, ks, kp = jax.random.split(key, 4)
-        batch = gen(kb)
+        batch = gen(kb, tex_bank, tex_idx)
         use_prior = bool(jax.random.bernoulli(kp, cfg.prior_prob))
         params, opt_state, loss, aux = step_fn(
             params, opt_state, batch, ks, use_prior

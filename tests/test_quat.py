@@ -130,3 +130,31 @@ def test_quat_normalize(rng):
     q = rng.normal(size=4) * 3
     out = np.asarray(quat_normalize(jnp.array(q)))
     np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-7)
+
+
+def test_quat_log_roundtrip(rng):
+    """quat_log is the exact inverse of quat_exp on the short arc."""
+    from cuahn_vio.ops import quat_log
+
+    for _ in range(50):
+        v = rng.standard_normal(3) * rng.uniform(1e-8, 3.0)
+        if np.linalg.norm(v) >= np.pi:  # stay on the principal branch
+            v = v / np.linalg.norm(v) * rng.uniform(0, np.pi - 1e-3)
+        q = quat_exp(jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(quat_log(q)), v, atol=2e-5)
+        # and exp(log(q)) == q up to sign
+        q2 = quat_exp(quat_log(q))
+        np.testing.assert_allclose(np.abs(np.asarray(q2)), np.abs(np.asarray(q)), atol=1e-5)
+
+
+def test_quat_log_identity_and_sign():
+    from cuahn_vio.ops import quat_log
+
+    np.testing.assert_allclose(
+        np.asarray(quat_log(jnp.array([1.0, 0.0, 0.0, 0.0]))), 0.0, atol=1e-7
+    )
+    # q and -q are the same rotation
+    q = quat_exp(jnp.array([0.3, -0.2, 0.1]))
+    np.testing.assert_allclose(
+        np.asarray(quat_log(q)), np.asarray(quat_log(-q)), atol=1e-6
+    )
