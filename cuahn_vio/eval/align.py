@@ -129,50 +129,28 @@ def associate(
 ):
     """Greedy injective timestamp association (AlignUtils.cpp:93-186).
 
-    Returns matched (times, est_poses, gt_poses, est_cov_ori, est_cov_pos,
-    gt_cov_ori, gt_cov_pos); matched times are the GT timestamps, exactly as
-    the reference stores them.
+    Gather wrapper over ``associate_indices`` (the single copy of the
+    association algorithm). Returns matched (times, est_poses, gt_poses,
+    est_cov_ori, est_cov_pos, gt_cov_ori, gt_cov_pos); matched times are
+    the GT timestamps, exactly as the reference stores them.
     """
-    m_times, m_est, m_gt, m_ecovo, m_ecovp, m_gcovo, m_gcovp = (
-        [], [], [], [], [], [], []
-    )
-    gt_ptr = 0
-    n_gt = len(gt_times)
-    for i in range(len(est_times)):
-        target = est_times[i] + offset
-        best_diff, best_idx = max_difference, -1
-        while gt_ptr < n_gt and gt_times[gt_ptr] < target and abs(
-            gt_times[gt_ptr] - target
-        ) > max_difference:
-            gt_ptr += 1
-        while gt_ptr < n_gt and abs(gt_times[gt_ptr] - target) <= max_difference:
-            d = abs(gt_times[gt_ptr] - target)
-            if d >= best_diff:
-                break
-            best_diff, best_idx = d, gt_ptr
-            gt_ptr += 1
-        if best_idx != -1:
-            m_times.append(gt_times[best_idx])
-            m_est.append(est_poses[i])
-            m_gt.append(gt_poses[best_idx])
-            if est_cov_ori is not None:
-                m_ecovo.append(est_cov_ori[i])
-                m_ecovp.append(est_cov_pos[i])
-                if gt_cov_ori is not None:
-                    m_gcovo.append(gt_cov_ori[best_idx])
-                    m_gcovp.append(gt_cov_pos[best_idx])
-                else:
-                    m_gcovo.append(np.zeros((3, 3)))
-                    m_gcovp.append(np.zeros((3, 3)))
-
-    def arr(x):
-        return np.asarray(x) if x else None
-
+    ie, ig = associate_indices(est_times, gt_times, offset, max_difference)
+    gt_times = np.asarray(gt_times)
+    m_ecovo = m_ecovp = m_gcovo = m_gcovp = None
+    if est_cov_ori is not None and len(ie):
+        m_ecovo = np.asarray(est_cov_ori)[ie]
+        m_ecovp = np.asarray(est_cov_pos)[ie]
+        if gt_cov_ori is not None:
+            m_gcovo = np.asarray(gt_cov_ori)[ig]
+            m_gcovp = np.asarray(gt_cov_pos)[ig]
+        else:
+            m_gcovo = np.zeros((len(ie), 3, 3))
+            m_gcovp = np.zeros((len(ie), 3, 3))
     return (
-        np.asarray(m_times),
-        np.asarray(m_est).reshape(-1, 7),
-        np.asarray(m_gt).reshape(-1, 7),
-        arr(m_ecovo), arr(m_ecovp), arr(m_gcovo), arr(m_gcovp),
+        gt_times[ig],
+        np.asarray(est_poses)[ie].reshape(-1, 7),
+        np.asarray(gt_poses)[ig].reshape(-1, 7),
+        m_ecovo, m_ecovp, m_gcovo, m_gcovp,
     )
 
 

@@ -40,6 +40,19 @@ def select_imu_readings(
     interpolated boundary samples, or empty arrays if the span can't be
     covered (matching the reference's empty-return warnings).
     """
+    # Narrow to the samples that can matter for [time0, time1] first —
+    # the reference scans its (pruned, <=10 s) buffer linearly per frame
+    # (Propagator.cpp:81-181); at 500 Hz x minutes-long sequences a full
+    # scan per frame is O(F*N) on the host. searchsorted gives the same
+    # selection from an O(log N) slice: start at the last sample <= time0
+    # (the START-straddle partner), end one past the first sample >= time1
+    # (the END-straddle partner).
+    lo = max(int(np.searchsorted(imu_t, time0, side="right")) - 1, 0)
+    hi = min(int(np.searchsorted(imu_t, time1, side="left")) + 2, imu_t.shape[0])
+    imu_t = imu_t[lo:hi]
+    imu_w = imu_w[lo:hi]
+    imu_a = imu_a[lo:hi]
+
     n = imu_t.shape[0]
     ts, ws, as_ = [], [], []
     for i in range(n - 1):

@@ -167,12 +167,18 @@ def run_stepwise(
     imu_t, imu_w, imu_a, cam_t, frames_u8,
     model: Any, net_params: Any, fparams: FilterParams,
     cfg: VioConfig, opts: RunnerOptions, seed: int = 0,
+    staged_timing: bool = True,
 ) -> RunResult:
     """Per-frame jitted step with host stage timing, emitting the reference
     CSV columns (VioManager.cpp:98): [load, prop, net, update, total] ms.
-    The jitted step fuses propagation+inference+update, so the fused device
-    time is attributed to the network column (the EKF update column is
-    ~0.05 ms in the reference and not separable under fusion)."""
+
+    With ``staged_timing`` (default), propagation / inference / update run
+    as separately-jitted calls so every column is a real measurement, like
+    the reference's inline rT1..rT5 stamps (VioManager.cpp:167-270). With
+    ``staged_timing=False``, one fused jitted step runs (lowest total
+    latency — what deployment would use) and the fused device time is
+    attributed to the network column, the other two reported as 0.
+    """
     init, state0, win, cam_used, frames_used = prepare_sequence(
         imu_t, imu_w, imu_a, cam_t, frames_u8, opts, fparams
     )
@@ -185,20 +191,84 @@ def run_stepwise(
     from cuahn_vio.filter.health import health_flags
 
     health = jax.jit(lambda s: health_flags(s).ok)
+
+    @jax.jit
+    def _state_output(state, failed_out: FrameOutput) -> FrameOutput:
+        """FrameOutput for a rolled-back state: pose/cov come from the
+        recovered state, network diagnostics stay those of the failed
+        attempt (they describe what went wrong at THIS frame)."""
+        rot = quat_to_rot(state.q)
+        return failed_out._replace(
+            p_world=rot @ state.p,
+            q=state.q,
+            v_body=state.v,
+            cov_pose=state.cov[:6, :6],
+            ba=state.ba,
+            bg=state.bg,
+            cov_diag=jnp.diagonal(state.cov)[:15],
+        )
+
     last_good = carry
     n_recoveries = 0
+
+    if staged_timing:
+        from cuahn_vio.pipeline.vio import make_vio_stages
+
+        prop_fn, net_fn, upd_fn, finish_fn = make_vio_stages(
+            model, net_params, fparams, cfg
+        )
+        prop_j = jax.jit(prop_fn)
+        net_j = jax.jit(net_fn) if model is not None else None
+        upd_j = jax.jit(upd_fn, static_argnames=("update_offset",))
+        fin_j = jax.jit(finish_fn)
+
+        def staged_frame(carry: VioCarry, xs):
+            """vio_step re-composed from the stage jits, returning per-stage
+            host wall times: (carry', out, [prop, net, upd] ms)."""
+            img_prev, img_curr, w, a, dt, key = xs
+            t0 = time.perf_counter()
+            state = prop_j(carry.state, w, a, dt)
+            jax.block_until_ready(state.p)
+            t1 = time.perf_counter()
+            net_ms = upd_ms = 0.0
+            net_mean = jnp.zeros(8, jnp.float32)
+            net_cov_tr = jnp.zeros((), jnp.float32)
+            net_chi2 = jnp.zeros((), jnp.float32)
+            if model is not None:
+                for it in range(cfg.max_iekf_iterations):
+                    tn0 = time.perf_counter()
+                    flow8, cov88 = net_j(state, img_prev, img_curr, key, it)
+                    jax.block_until_ready(flow8)
+                    tn1 = time.perf_counter()
+                    state, net_chi2 = upd_j(
+                        state, carry.frame_idx, flow8, cov88,
+                        update_offset=it != cfg.max_iekf_iterations - 1,
+                    )
+                    jax.block_until_ready(state.p)
+                    tn2 = time.perf_counter()
+                    net_ms += (tn1 - tn0) * 1e3
+                    upd_ms += (tn2 - tn1) * 1e3
+                    net_mean, net_cov_tr = flow8, jnp.trace(cov88)
+            tf0 = time.perf_counter()
+            state, out = fin_j(state, net_mean, net_cov_tr, net_chi2)
+            jax.block_until_ready(state.p)
+            upd_ms += (time.perf_counter() - tf0) * 1e3
+            prop_ms = (t1 - t0) * 1e3
+            new_carry = VioCarry(state=state, frame_idx=carry.frame_idx + 1)
+            return new_carry, out, (prop_ms, net_ms, upd_ms)
 
     # warm-up compile on frame 0's inputs so the first timing row measures
     # steady state, not jit (the reference warm-ups at construction,
     # HomographyNet.cpp:28-63); the carry is discarded.
-    _warm, _ = step(
-        carry,
-        (
-            frames_dev[0], frames_dev[0],
-            jnp.array(win.w_mid[0]), jnp.array(win.a_mid[0]),
-            jnp.array(win.dt[0]), keys[0],
-        ),
+    warm_xs = (
+        frames_dev[0], frames_dev[0],
+        jnp.array(win.w_mid[0]), jnp.array(win.a_mid[0]),
+        jnp.array(win.dt[0]), keys[0],
     )
+    if staged_timing:
+        _warm, _, _ = staged_frame(carry, warm_xs)
+    else:
+        _warm, _ = step(carry, warm_xs)
     jax.block_until_ready(_warm.state.p)
     _ = health(_warm.state)
 
@@ -211,7 +281,10 @@ def run_stepwise(
             jnp.array(win.dt[f - 1]), keys[f],
         )
         t_b = time.perf_counter()
-        carry, out = step(carry, xs)
+        if staged_timing:
+            carry, out, (prop_ms, net_ms, upd_ms) = staged_frame(carry, xs)
+        else:
+            carry, out = step(carry, xs)
         jax.block_until_ready(carry.state.p)
         t_c = time.perf_counter()
         # divergence guard (SURVEY.md §5.3: the reference has none and its
@@ -225,14 +298,18 @@ def run_stepwise(
                 state=s._replace(cov=s.cov * 10.0 + jnp.eye(27) * 1e-6),
                 frame_idx=last_good.frame_idx + 1,
             )
-            out = jax.device_get(outs_list[-1]) if outs_list else out
+            # emit the ROLLED-BACK state's pose under this frame's
+            # timestamp (not a duplicate of the previous row)
+            out = _state_output(carry.state, out)
         else:
             last_good = carry
         outs_list.append(jax.device_get(out))
         load_ms = (t_b - t_a) * 1e3
-        fused_ms = (t_c - t_b) * 1e3
         total_ms = (t_c - t_a) * 1e3
-        stage.append([load_ms, 0.0, fused_ms, 0.0, total_ms])
+        if staged_timing:
+            stage.append([load_ms, prop_ms, net_ms, upd_ms, total_ms])
+        else:
+            stage.append([load_ms, 0.0, (t_c - t_b) * 1e3, 0.0, total_ms])
         rows.append(cam_used[f] + opts.calib_camimu_dt)
 
     outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)

@@ -139,6 +139,64 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
     return vio_step
 
 
+def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: VioConfig):
+    """The vio_step pipeline split into separately-jittable stages, so the
+    stepwise runner can time each reference CSV column for real
+    (VioManager.cpp:98: load / propagation / inference / update / total)
+    instead of attributing the fused device time to one column.
+
+    Returns (prop_fn, net_fn, upd_fn, finish_fn); composing them in order
+    reproduces ``make_vio_step`` exactly (same op sequence — only XLA
+    fusion boundaries differ).
+    """
+
+    def prop_fn(state: FilterState, w_win, a_win, dt_win) -> FilterState:
+        return propagate_window(state, fparams, w_win, a_win, dt_win)
+
+    def net_fn(state: FilterState, img_prev_u8, img_curr_u8, key, it):
+        img1 = img_prev_u8.astype(jnp.float32) / 255.0
+        img2 = img_curr_u8.astype(jnp.float32) / 255.0
+        prior_px = (propagated_offset8(state) * FOCAL).reshape(4, 2)
+        flow8, cov88 = model.apply(
+            {"params": net_params},
+            img1,
+            img2,
+            prior_px if cfg.use_prior else None,
+            use_prior=cfg.use_prior,
+            rngs={"dropout": jax.random.fold_in(key, it)},
+        )
+        return flow8, cov88
+
+    def upd_fn(state: FilterState, frame_idx, flow8, cov88, update_offset: bool):
+        _, _, chi2, _ = innovation_stats(state, fparams, flow8, cov88)
+        gate = frame_idx > cfg.update_gate_frames
+        state = jax.lax.cond(
+            gate,
+            lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
+            lambda s: s,
+            state,
+        )
+        return state, chi2
+
+    def finish_fn(state: FilterState, net_mean, net_cov_tr, net_chi2):
+        rot = quat_to_rot(state.q)
+        out = FrameOutput(
+            p_world=rot @ state.p,
+            q=state.q,
+            v_body=state.v,
+            cov_pose=state.cov[:6, :6],
+            net_mean=net_mean,
+            net_cov_tr=net_cov_tr,
+            ba=state.ba,
+            bg=state.bg,
+            cov_diag=jnp.diagonal(state.cov)[:15],
+            net_chi2=net_chi2,
+        )
+        return reset_4pt_offset(state), out
+
+    return prop_fn, net_fn, upd_fn, finish_fn
+
+
 def run_sequence(
     init_state: FilterState,
     model: Any,
