@@ -168,7 +168,11 @@ def build_texture_bank(size: int = TEXTURE_SIZE) -> np.ndarray:
             continue
         imgs.append(_contrast_normalize(img))
     imgs.extend(_procedural_extras(size))
-    return np.stack(imgs).astype(np.float32)
+    bank = np.stack(imgs).astype(np.float32)
+    # quantize to u8 levels: the sources are 8-bit images anyway, and
+    # k/255-valued textures let the TPU sampler use the single-matmul
+    # exact_u8 pallas path (ops/pallas/warp_kernel.py)
+    return np.round(bank * 255.0) / np.float32(255.0)
 
 
 def get_texture_bank(size: int = TEXTURE_SIZE) -> np.ndarray:
@@ -177,7 +181,7 @@ def get_texture_bank(size: int = TEXTURE_SIZE) -> np.ndarray:
     global _BANK_CACHE
     if _BANK_CACHE is not None and _BANK_CACHE.shape[1] == size:
         return _BANK_CACHE
-    cache = f"/tmp/cuahn_texture_bank_{size}.npz"
+    cache = f"/tmp/cuahn_texture_bank_v2_{size}.npz"
     if os.path.exists(cache):
         try:
             _BANK_CACHE = np.load(cache)["bank"]
@@ -228,11 +232,24 @@ def default_tex_params(scale_m: float = 4.0) -> jnp.ndarray:
     return jnp.array([scale_m, 1.0, 0.0, 0.0, 0.0], jnp.float32)
 
 
+# texture-sampling implementation: "gather" (per-pixel XLA gather),
+# "pallas" (gather-free one-hot-matmul kernel — ~8x faster on TPU, where
+# XLA serializes gathers), or "auto" (pallas on TPU backends, gather
+# elsewhere). The two paths agree to f32 rounding for u8-quantized banks.
+SAMPLE_IMPL = "auto"
+
+
+def _resolved_impl() -> str:
+    if SAMPLE_IMPL != "auto":
+        return SAMPLE_IMPL
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "gather"
+
+
 def sample_plane(texture: jnp.ndarray, xy: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
     """Reflect-tiled bilinear texture lookup at world points (jittable).
 
     Args:
-        texture: (T, T) float32 in [0, 1].
+        texture: (T, T) float32 in [0, 1] at u8 levels (k/255).
         xy: (..., 2) world-plane coordinates in metres.
         params: (5,) [scale_m, cos, sin, off_u, off_v] — one texture period
             spans ``scale_m`` metres, rotated and offset.
@@ -248,6 +265,13 @@ def sample_plane(texture: jnp.ndarray, xy: jnp.ndarray, params: jnp.ndarray) -> 
     v = 1.0 - jnp.abs(1.0 - jnp.mod(v, 2.0))
     x = u * (t - 1)
     y = v * (t - 1)
+    if _resolved_impl() == "pallas":
+        from cuahn_vio.ops.pallas.warp_kernel import bilinear_sample_pallas
+
+        out = bilinear_sample_pallas(
+            texture, x.reshape(-1), y.reshape(-1), exact_u8=True
+        )
+        return out.reshape(x.shape)
     x0 = jnp.clip(jnp.floor(x), 0, t - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, t - 2).astype(jnp.int32)
     fx = x - x0

@@ -84,43 +84,28 @@ def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
     out_ref[:] = jnp.sum(m * wu, axis=-1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
-def homography_warp_pallas(
+def _sample_flat(
     img: jnp.ndarray,
-    h_uv: jnp.ndarray,
-    interpret: bool = False,
-    exact_u8: bool = False,
+    su: jnp.ndarray,
+    sv: jnp.ndarray,
+    interpret: bool,
+    exact_u8: bool,
 ) -> jnp.ndarray:
-    """Warp ``img`` (H, W) by the pixel-frame homography ``h_uv`` (3, 3).
+    """Bilinear-sample ``img`` (H, W) at flat f32 coords ``su``/``sv`` (P,).
 
-    Semantics identical to ``ops.warp.homography_warp`` (torch grid_sample
-    bilinear / zeros padding / align_corners=True): out-of-image taps get
-    zero hat weight.
-
-    ``exact_u8=True`` asserts the image values are k/255 for integer k
-    (i.e. a /255-normalized uint8 frame, HomographyNet.cpp:139-146 — true
-    for every warp in the UAHN cascade). Then img*255 is integer-exact in
-    bf16 and the hi/lo split halves to a single matmul per tap row —
-    2 MXU passes instead of 4, still bit-exact.
-
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
-    testing without a TPU).
+    The gather-free MXU formulation shared by ``homography_warp_pallas``
+    and ``bilinear_sample_pallas``: out-of-image taps get zero hat weight
+    (grid_sample zeros padding); in-range coords give exact bilinear
+    interpolation. Returns (P,) f32.
     """
     hgt, wid = img.shape
-    p = hgt * wid
-    # pad the pixel count up to a tile multiple (padded pixels get
-    # off-image coords -> zero hat weights -> zero output, sliced below)
+    p = su.shape[0]
     tile = min(_TILE_PIX, ((p + 7) // 8) * 8)
     n_pad = ((p + tile - 1) // tile) * tile
 
     img = img.astype(jnp.float32)
-    grid_uv1 = pixel_grid_uv1(hgt, wid, dtype=jnp.float32)  # (3, P)
-    uvz = jnp.matmul(
-        h_uv.astype(jnp.float32), grid_uv1, precision=jax.lax.Precision.HIGHEST
-    )
-    z = uvz[2]
-    su = jnp.clip(uvz[0] / z, -1e4, 1e4)
-    sv = jnp.clip(uvz[1] / z, -1e4, 1e4)
+    su = jnp.clip(su, -1e4, 1e4)
+    sv = jnp.clip(sv, -1e4, 1e4)
     if n_pad != p:
         su = jnp.pad(su, (0, n_pad - p), constant_values=-1e4)
         sv = jnp.pad(sv, (0, n_pad - p), constant_values=-1e4)
@@ -155,4 +140,56 @@ def homography_warp_pallas(
             in_specs=[coord_spec, coord_spec, img_spec, img_spec],
             **common,
         )(sv, su, img_hi, img_lo)
-    return out[:p, 0].reshape(hgt, wid)
+    return out[:p, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
+def bilinear_sample_pallas(
+    img: jnp.ndarray,
+    su: jnp.ndarray,
+    sv: jnp.ndarray,
+    interpret: bool = False,
+    exact_u8: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample of ``img`` (H, W) at arbitrary f32 pixel coords.
+
+    ``su``/``sv`` are flat (P,) column/row coordinates. Used by the
+    synthetic-data texture sampler (data/textures.py sample_plane), whose
+    per-pixel XLA gather formulation is ~8x slower on TPU. Semantics match
+    the gather version for in-range coords; off-image taps contribute 0.
+    """
+    return _sample_flat(img, su, sv, interpret, exact_u8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
+def homography_warp_pallas(
+    img: jnp.ndarray,
+    h_uv: jnp.ndarray,
+    interpret: bool = False,
+    exact_u8: bool = False,
+) -> jnp.ndarray:
+    """Warp ``img`` (H, W) by the pixel-frame homography ``h_uv`` (3, 3).
+
+    Semantics identical to ``ops.warp.homography_warp`` (torch grid_sample
+    bilinear / zeros padding / align_corners=True): out-of-image taps get
+    zero hat weight.
+
+    ``exact_u8=True`` asserts the image values are k/255 for integer k
+    (i.e. a /255-normalized uint8 frame, HomographyNet.cpp:139-146 — true
+    for every warp in the UAHN cascade). Then img*255 is integer-exact in
+    bf16 and the hi/lo split halves to a single matmul per tap row —
+    2 MXU passes instead of 4, still bit-exact.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    testing without a TPU).
+    """
+    hgt, wid = img.shape
+    grid_uv1 = pixel_grid_uv1(hgt, wid, dtype=jnp.float32)  # (3, P)
+    uvz = jnp.matmul(
+        h_uv.astype(jnp.float32), grid_uv1, precision=jax.lax.Precision.HIGHEST
+    )
+    z = uvz[2]
+    su = uvz[0] / z
+    sv = uvz[1] / z
+    out = _sample_flat(img, su, sv, interpret, exact_u8)
+    return out.reshape(hgt, wid)

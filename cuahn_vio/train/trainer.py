@@ -358,10 +358,15 @@ def train(
 
     gen = jax.jit(_gen, out_shardings=batch_out_shardings)
     key = jax.random.PRNGKey(seed)
+    # the prior-mode coin flip is drawn on the HOST: a device bernoulli
+    # would force a device->host sync every step, which costs ~0.5 s per
+    # step over a tunneled TPU — the loop must stay fully async between
+    # log points so gen/step dispatches pipeline on the device
+    host_rng = np.random.default_rng(seed)
     for i in range(steps):
-        key, kb, ks, kp = jax.random.split(key, 4)
+        key, kb, ks = jax.random.split(key, 3)
         batch = gen(kb, tex_bank, tex_idx)
-        use_prior = bool(jax.random.bernoulli(kp, cfg.prior_prob))
+        use_prior = bool(host_rng.random() < cfg.prior_prob)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, batch, ks, use_prior
         )

@@ -130,3 +130,34 @@ def test_effects_actually_degrade():
         out, _ = apply_effects_pair(img, img, jax.random.PRNGKey(s), cfg)
         diffs.append(float(jnp.abs(out - img).mean()))
     assert max(diffs) > 0.02
+
+
+def test_sample_plane_pallas_matches_gather():
+    """The TPU pallas sampler and the XLA gather path are the same op."""
+    import functools
+
+    import cuahn_vio.data.textures as T
+    from cuahn_vio.ops.pallas import warp_kernel as WK
+
+    bank = T.get_texture_bank()
+    tex = jnp.asarray(bank[5])
+    xy = jax.random.uniform(
+        jax.random.PRNGKey(0), (23, 31, 2), minval=-9.0, maxval=9.0
+    )
+    params = T.random_tex_params(jax.random.PRNGKey(1))
+    old_impl, old_fn = T.SAMPLE_IMPL, WK.bilinear_sample_pallas
+    try:
+        T.SAMPLE_IMPL = "gather"
+        a = T.sample_plane(tex, xy, params)
+        T.SAMPLE_IMPL = "pallas"
+        WK.bilinear_sample_pallas = functools.partial(old_fn, interpret=True)
+        b = T.sample_plane(tex, xy, params)
+    finally:
+        T.SAMPLE_IMPL, WK.bilinear_sample_pallas = old_impl, old_fn
+    assert float(jnp.max(jnp.abs(a - b))) < 2e-6
+
+
+def test_bank_is_u8_quantized():
+    """k/255-valued banks are what the exact_u8 pallas path requires."""
+    k = get_texture_bank() * 255.0
+    assert np.max(np.abs(k - np.round(k))) < 1e-4
