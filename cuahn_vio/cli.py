@@ -408,6 +408,32 @@ def cmd_make_synthetic(args):
         )
     else:
         traj = AnalyticTrajectory()
+    texture = tex_params = None
+    if args.texture != "none":
+        from cuahn_vio.data.textures import (
+            default_tex_params,
+            get_texture_bank,
+            heldout_indices,
+            train_indices,
+        )
+
+        bank = get_texture_bank()
+        split = (
+            heldout_indices(len(bank))
+            if args.texture == "heldout"
+            else train_indices(len(bank))
+        )
+        pick = args.texture_pick if args.texture_pick is not None else args.seed
+        idx = int(split[pick % len(split)])
+        texture = bank[idx]
+        tex_params = np.asarray(default_tex_params(args.tex_scale))
+        print(f"ground texture: bank[{idx}] ({args.texture} split), "
+              f"{args.tex_scale} m/period")
+    effects = None
+    if args.effects:
+        from cuahn_vio.data.sensor_effects import EffectsConfig
+
+        effects = EffectsConfig()
     seq = make_sequence(
         traj,
         np.asarray(opts.t_imu_to_cam),
@@ -418,6 +444,11 @@ def cmd_make_synthetic(args):
         bias_g=args.bias_g,
         bias_a=args.bias_a,
         texture_seed=args.seed,
+        texture=texture,
+        tex_params=tex_params,
+        exposure_s=args.exposure_ms * 1e-3,
+        effects=effects,
+        effects_seed=args.seed,
     )
     np.savez_compressed(
         args.out,
@@ -563,6 +594,30 @@ def cmd_smooth_trajectory(args):
     poses = np.concatenate([p_opt, q_opt[:, [1, 2, 3, 0]]], axis=1)
     save_pose_file(args.out, traj.times, poses)
     print(f"wrote {args.out}")
+
+
+def cmd_distributed_selftest(args):
+    """Join a multi-process jax.distributed job and run the deterministic
+    sharded workload (parallel/selftest.py); prints one JSON result line.
+    The checksums must match a single-process run bit-for-bit (f32)."""
+    import json
+
+    from cuahn_vio.parallel.mesh import init_distributed
+    from cuahn_vio.parallel.selftest import run_selftest
+
+    if args.coordinator:
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+    if args.bench:
+        from cuahn_vio.parallel.selftest import run_selftest_bench
+
+        res = run_selftest_bench(args.mesh_devices)
+    else:
+        res = run_selftest(args.mesh_devices)
+    line = json.dumps(res)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
 
 
 def cmd_run_vio_batch(args):
@@ -880,6 +935,22 @@ def main(argv=None):
     s.add_argument("--plot", default=None, help="write error/3-sigma plot PNG")
     s.set_defaults(fn=cmd_error_simulation)
 
+    s = sub.add_parser(
+        "distributed-selftest",
+        help="multi-process sharded-workload checksums (jax.distributed)",
+    )
+    s.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (omit: single process)")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--mesh-devices", type=int, default=None,
+                   help="use only the first N global devices")
+    s.add_argument("--bench", action="store_true",
+                   help="timed throughput workload (scaling-efficiency "
+                        "recipe) instead of the checksum workload")
+    s.add_argument("--out", default=None, help="write the JSON line here")
+    s.set_defaults(fn=cmd_distributed_selftest)
+
     s = sub.add_parser("pid-monitor", help="CPU/RSS monitor for a process")
     s.add_argument("pid", type=int)
     s.add_argument("--duration", type=float, default=10.0)
@@ -921,6 +992,20 @@ def main(argv=None):
     s.add_argument("--traj-z-offset", type=float, default=0.0,
                    help="vertical shift when replaying a mocap trajectory "
                         "over the z=0 ground plane")
+    s.add_argument("--texture", choices=["none", "train", "heldout"],
+                   default="none",
+                   help="ground imagery: procedural sinusoids (none), or a "
+                        "photo from the texture bank's train/held-out split "
+                        "(held-out photos are never seen during training)")
+    s.add_argument("--texture-pick", type=int, default=None,
+                   help="index into the chosen split (default: seed)")
+    s.add_argument("--tex-scale", type=float, default=4.0,
+                   help="metres per texture period")
+    s.add_argument("--exposure-ms", type=float, default=0.0,
+                   help="camera exposure time; > 0 adds physical motion blur")
+    s.add_argument("--effects", action="store_true",
+                   help="sensor-effect chain: vignette, exposure drift, "
+                        "defocus, shot+read noise")
     s.set_defaults(fn=cmd_make_synthetic)
 
     s = sub.add_parser("close-loops", help="UAHN loop factors for a run")

@@ -25,13 +25,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cuahn_vio.filter.state import CORNER_XY1, FilterParams, FilterState
 from cuahn_vio.ops.homography import f32_precision
 from cuahn_vio.ops.quat import jr_so3, quat_exp, quat_mul, quat_normalize, quat_to_rot, skew
 
-_EZ = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-_MUW = jnp.array([0.0, 0.0, -1.0], jnp.float32)  # ground normal, world frame
+_EZ = np.array([0.0, 0.0, 1.0], np.float32)
+_MUW = np.array([0.0, 0.0, -1.0], np.float32)  # ground normal, world frame
 
 
 def _corner_jacobians(pt, wc, vc, muc, dc):

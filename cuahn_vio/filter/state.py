@@ -20,16 +20,17 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # normalized corner bearing vectors (State.h:110-113): (±1, ±111.5/159.5, 1)
-CORNER_XY1 = jnp.array(
+CORNER_XY1 = np.array(
     [
         [-1.0, -0.69906, 1.0],  # upper-left
         [-1.0, 0.69906, 1.0],  # bottom-left
         [1.0, 0.69906, 1.0],  # bottom-right
         [1.0, -0.69906, 1.0],  # upper-right
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # pixel <-> normalized-camera scaling (VioManager.cpp:234, UpdaterHNet.cpp:33)

@@ -22,13 +22,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cuahn_vio.filter.state import FOCAL, FOCAL2, FilterParams, FilterState
 from cuahn_vio.ops.homography import f32_precision
 from cuahn_vio.ops.quat import quat_exp, quat_mul, quat_normalize
 
 # columns of the 27-state selected by the 8 measurement rows (UpdaterHNet.h:56-66)
-MEAS_IDX = jnp.array([15, 16, 18, 19, 21, 22, 24, 25], jnp.int32)
+MEAS_IDX = np.array([15, 16, 18, 19, 21, 22, 24, 25], np.int32)
 
 
 def propagated_offset8(state: FilterState) -> jnp.ndarray:
