@@ -328,6 +328,10 @@ def cmd_run_vio(args):
         opts.init_imu_thresh = args.init_imu_thresh
     if args.calib_dt is not None:
         opts.calib_camimu_dt = args.calib_dt
+    if args.k_net_cov is not None:
+        opts.up_linear_k_hnet_cov = args.k_net_cov
+    if args.chi2_gate is not None:
+        opts.chi2_gate = args.chi2_gate
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -366,7 +370,8 @@ def cmd_run_vio(args):
             args.state_out,
             times=res.times, pose=res.pose_w, v_body=res.v_body,
             ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
-            net_chi2=res.net_chi2,
+            net_chi2=res.net_chi2, net_inno=res.net_inno,
+            cov_meas=res.cov_meas, net_cov88=res.net_cov88,
         )
         print(f"wrote full state -> {args.state_out}")
     if args.odom_out:
@@ -387,6 +392,30 @@ def cmd_run_vio(args):
                 f"{np.median(chi2):.1f}, p95 {np.percentile(chi2, 95):.1f}; "
                 f"{rejected} of {len(res.net_chi2)} measurements gated out"
             )
+
+
+def cmd_calibrate_covariance(args):
+    """Fit the measurement-covariance temperature k_net_cov (the
+    reference's hand-tuned K_net_Cov=10, UpdaterHNet.cpp:31-33) from a
+    logged run so the innovation chi2 median hits the 8-DoF ideal."""
+    from cuahn_vio.eval.calibration import fit_from_state_npz
+
+    res = fit_from_state_npz(args.state, target_median=args.target_median)
+    print(f"frames used:        {res['n_frames']}")
+    print(
+        f"fitted k_net_cov:   {res['k_net_cov']:.4g} "
+        f"(reference hand-tuned value: 10.0)"
+    )
+    print(
+        f"chi2 under fit:     median {res['chi2_median']:.2f} "
+        f"(target {res['target_median']:.2f}), p95 {res['chi2_p95']:.1f}, "
+        f"mean {res['chi2_mean']:.2f}"
+    )
+    print(
+        "apply: set up_linear_k_hnet_cov: "
+        f"{res['k_net_cov']:.4g} in the YAML config (or --k-net-cov), "
+        "re-run, and re-check the printed chi2 median"
+    )
 
 
 def cmd_make_synthetic(args):
@@ -975,7 +1004,21 @@ def main(argv=None):
                         "launch files set this per dataset, uzhfpv.launch:66)")
     s.add_argument("--init-imu-thresh", type=float, default=None)
     s.add_argument("--calib-dt", type=float, default=None)
+    s.add_argument("--k-net-cov", type=float, default=None,
+                   help="measurement-cov temperature override "
+                        "(calibrate-covariance suggests this)")
+    s.add_argument("--chi2-gate", type=float, default=None,
+                   help="innovation chi2 rejection threshold override")
     s.set_defaults(fn=cmd_run_vio)
+
+    s = sub.add_parser(
+        "calibrate-covariance",
+        help="fit k_net_cov from a run-vio --state-out log",
+    )
+    s.add_argument("state", help=".npz from run-vio --state-out")
+    s.add_argument("--target-median", type=float, default=7.3441,
+                   help="target innovation chi2 median (8-DoF ideal)")
+    s.set_defaults(fn=cmd_calibrate_covariance)
 
     s = sub.add_parser("make-synthetic", help="generate a synthetic sequence")
     s.add_argument("--out", default="synthetic_seq.npz")

@@ -51,7 +51,10 @@ def innovation_stats(
     ov_eval). Non-finite measurements are sanitized so downstream algebra
     stays NaN-free; the returned ``meas_finite`` flags them for rejection.
 
-    Returns (inno (8,), s_mat (8, 8), chi2 (), meas_finite ()).
+    Returns (inno (8,), s_mat (8, 8), chi2 (), meas_finite (),
+    p_meas (8, 8) = H P Hᵀ — recorded separately so the covariance
+    temperature k_net_cov can be refit OFFLINE from a logged run:
+    chi2(k) = innoᵀ (p_meas + k Σ_net/159.5²)⁻¹ inno (eval/calibration.py).
     """
     dtype = state.p.dtype
     meas_finite = jnp.logical_and(
@@ -64,7 +67,7 @@ def innovation_stats(
     s_mat = p_meas + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
     inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
     chi2 = inno @ jnp.linalg.solve(s_mat, inno)
-    return inno, s_mat, chi2, meas_finite
+    return inno, s_mat, chi2, meas_finite, p_meas
 
 
 @f32_precision
@@ -84,7 +87,7 @@ def hnet_update(
             correction (the offsets are about to be reset anyway).
     """
     dtype = state.p.dtype
-    inno, s_mat, chi2, meas_finite = innovation_stats(
+    inno, s_mat, chi2, meas_finite, _ = innovation_stats(
         state, params, net_mean8, net_cov88
     )
     p_cols = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)

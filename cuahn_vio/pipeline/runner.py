@@ -59,6 +59,9 @@ class RunResult(NamedTuple):
     cov_diag: Optional[np.ndarray] = None  # (F, 15) core cov diagonal
     n_recoveries: int = 0  # divergence-guard rollbacks (stepwise runner)
     net_chi2: Optional[np.ndarray] = None  # (F,) innovation chi2 per frame
+    net_inno: Optional[np.ndarray] = None  # (F, 8) innovations (normalized)
+    cov_meas: Optional[np.ndarray] = None  # (F, 8, 8) H P H^T per frame
+    net_cov88: Optional[np.ndarray] = None  # (F, 8, 8) network cov (px^2)
 
 
 def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
@@ -99,6 +102,9 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
         bg=np.asarray(out.bg),
         cov_diag=np.asarray(out.cov_diag),
         net_chi2=np.asarray(out.net_chi2),
+        net_inno=np.asarray(out.net_inno),
+        cov_meas=np.asarray(out.cov_meas),
+        net_cov88=np.asarray(out.net_cov88),
     )
 
 
@@ -232,15 +238,19 @@ def run_stepwise(
             t1 = time.perf_counter()
             net_ms = upd_ms = 0.0
             net_mean = jnp.zeros(8, jnp.float32)
-            net_cov_tr = jnp.zeros((), jnp.float32)
-            net_chi2 = jnp.zeros((), jnp.float32)
+            net_cov88 = jnp.zeros((8, 8), jnp.float32)
+            calib = (
+                jnp.zeros((), jnp.float32),
+                jnp.zeros(8, jnp.float32),
+                jnp.zeros((8, 8), jnp.float32),
+            )
             if model is not None:
                 for it in range(cfg.max_iekf_iterations):
                     tn0 = time.perf_counter()
                     flow8, cov88 = net_j(state, img_prev, img_curr, key, it)
                     jax.block_until_ready(flow8)
                     tn1 = time.perf_counter()
-                    state, net_chi2 = upd_j(
+                    state, calib = upd_j(
                         state, carry.frame_idx, flow8, cov88,
                         update_offset=it != cfg.max_iekf_iterations - 1,
                     )
@@ -248,9 +258,9 @@ def run_stepwise(
                     tn2 = time.perf_counter()
                     net_ms += (tn1 - tn0) * 1e3
                     upd_ms += (tn2 - tn1) * 1e3
-                    net_mean, net_cov_tr = flow8, jnp.trace(cov88)
+                    net_mean, net_cov88 = flow8, cov88
             tf0 = time.perf_counter()
-            state, out = fin_j(state, net_mean, net_cov_tr, net_chi2)
+            state, out = fin_j(state, net_mean, net_cov88, calib)
             jax.block_until_ready(state.p)
             upd_ms += (time.perf_counter() - tf0) * 1e3
             prop_ms = (t1 - t0) * 1e3

@@ -64,6 +64,11 @@ class FrameOutput(NamedTuple):
     cov_diag: jnp.ndarray  # (15,) core error-state covariance diagonal
     net_chi2: jnp.ndarray  # () innovation Mahalanobis distance (8 DoF);
     # >= FilterParams.chi2_gate means the measurement was rejected
+    # --- covariance-calibration log (eval/calibration.py): refit k_net_cov
+    # offline as chi2(k) = innoT (cov_meas + k net_cov88/159.5^2)^-1 inno
+    net_inno: jnp.ndarray  # (8,) innovation, normalized camera units
+    cov_meas: jnp.ndarray  # (8, 8) H P H^T of the propagated state
+    net_cov88: jnp.ndarray  # (8, 8) raw network covariance, px^2
 
 
 class VioCarry(NamedTuple):
@@ -91,6 +96,9 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
         net_mean = jnp.zeros(8, state.p.dtype)
         net_cov_tr = jnp.zeros((), state.p.dtype)
         net_chi2 = jnp.zeros((), state.p.dtype)
+        net_inno = jnp.zeros(8, state.p.dtype)
+        cov_meas = jnp.zeros((8, 8), state.p.dtype)
+        net_cov88 = jnp.zeros((8, 8), state.p.dtype)
         if model is not None:
             img1 = img_prev_u8.astype(jnp.float32) / 255.0
             img2 = img_curr_u8.astype(jnp.float32) / 255.0
@@ -108,7 +116,9 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                 )
                 update_offset = it != cfg.max_iekf_iterations - 1
                 gate = carry.frame_idx > cfg.update_gate_frames
-                _, _, net_chi2, _ = innovation_stats(state, fparams, flow8, cov88)
+                net_inno, _, net_chi2, _, cov_meas = innovation_stats(
+                    state, fparams, flow8, cov88
+                )
                 state = jax.lax.cond(
                     gate,
                     lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
@@ -116,6 +126,7 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                     state,
                 )
                 net_mean, net_cov_tr = flow8, jnp.trace(cov88)
+                net_cov88 = cov88.astype(state.p.dtype)
 
         # output world-frame pose (RosVisualizer.cpp:171)
         rot = quat_to_rot(state.q)
@@ -130,6 +141,9 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
             bg=state.bg,
             cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=net_chi2,
+            net_inno=net_inno,
+            cov_meas=cov_meas,
+            net_cov88=net_cov88,
         )
 
         # 3. reset (VioManager.cpp:275)
@@ -168,7 +182,7 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
         return flow8, cov88
 
     def upd_fn(state: FilterState, frame_idx, flow8, cov88, update_offset: bool):
-        _, _, chi2, _ = innovation_stats(state, fparams, flow8, cov88)
+        inno, _, chi2, _, p_meas = innovation_stats(state, fparams, flow8, cov88)
         gate = frame_idx > cfg.update_gate_frames
         state = jax.lax.cond(
             gate,
@@ -176,9 +190,10 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
             lambda s: s,
             state,
         )
-        return state, chi2
+        return state, (chi2, inno, p_meas)
 
-    def finish_fn(state: FilterState, net_mean, net_cov_tr, net_chi2):
+    def finish_fn(state: FilterState, net_mean, net_cov88, calib):
+        net_chi2, net_inno, cov_meas = calib
         rot = quat_to_rot(state.q)
         out = FrameOutput(
             p_world=rot @ state.p,
@@ -186,11 +201,14 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
             v_body=state.v,
             cov_pose=state.cov[:6, :6],
             net_mean=net_mean,
-            net_cov_tr=net_cov_tr,
+            net_cov_tr=jnp.trace(net_cov88),
             ba=state.ba,
             bg=state.bg,
             cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=net_chi2,
+            net_inno=net_inno,
+            cov_meas=cov_meas,
+            net_cov88=net_cov88.astype(state.p.dtype),
         )
         return reset_4pt_offset(state), out
 
@@ -247,7 +265,7 @@ def run_sequence_with_measurements(
     def step(carry: VioCarry, xs):
         z, r, valid, w, a, dts = xs
         state = propagate_window(carry.state, fparams, w, a, dts)
-        _, _, chi2, _ = innovation_stats(state, fparams, z, r)
+        inno, _, chi2, _, p_meas = innovation_stats(state, fparams, z, r)
         gate = jnp.logical_and(valid, carry.frame_idx > cfg.update_gate_frames)
         state = jax.lax.cond(
             gate,
@@ -267,6 +285,9 @@ def run_sequence_with_measurements(
             bg=state.bg,
             cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=chi2,
+            net_inno=inno,
+            cov_meas=p_meas,
+            net_cov88=r.astype(state.p.dtype),
         )
         state = reset_4pt_offset(state)
         return VioCarry(state=state, frame_idx=carry.frame_idx + 1), out
