@@ -106,7 +106,7 @@ def main():
     step_mm = make_vio_step(model, params, fparams, cfg)
 
     best_batch_fps, best_batch = 0.0, 0
-    for batch in (8,):
+    for batch in (8, 16, 32, 64):
         vstep = jax.jit(jax.vmap(step_mm))
         carries = jax.tree.map(lambda x: jnp.stack([x] * batch), carry)
         xs = jax.tree.map(
@@ -125,6 +125,9 @@ def main():
         print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
         if batch_fps > best_batch_fps:
             best_batch_fps, best_batch = batch_fps, batch
+        elif batch_fps < 0.9 * best_batch_fps:
+            break  # past the knee
+    print(f"# best batch: {best_batch}")
     batch_fps = best_batch_fps
     warp_mod.WARP_IMPL = "auto"
 
