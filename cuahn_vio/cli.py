@@ -243,6 +243,69 @@ def cmd_align_trajectory(args):
     print(f"aligned {len(ie)} matched poses ({args.method}) -> {args.out}")
 
 
+def cmd_watch_run(args):
+    """LIVE progress view of a running estimate file: poll the pose txt as
+    run-vio appends/rewrites it, align GT onto the estimate-so-far, and
+    refresh an xy-plot PNG — the file-based analog of the reference's
+    live_align_trajectory rviz overlay (live_align_trajectory.cpp:38-137)
+    + RosVisualizer path topics (RosVisualizer.cpp:33-48)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cuahn_vio.eval import load_pose_file
+    from cuahn_vio.eval.align import align_trajectory, associate_indices
+
+    gt = load_pose_file(args.gt) if args.gt else None
+    last_n, stale = -1, 0
+    ticks = 0
+    while True:
+        try:
+            est = load_pose_file(args.est)
+            n = len(est.times)
+        except (FileNotFoundError, ValueError):
+            n = 0
+        if n == last_n:
+            stale += 1
+        else:
+            stale = 0
+        if n > 1 and n != last_n:
+            fig, ax = plt.subplots(figsize=(7, 7))
+            ax.plot(est.poses[:, 0], est.poses[:, 1], "b-", lw=1.2,
+                    label=f"estimate ({n} poses)")
+            ax.plot(est.poses[-1, 0], est.poses[-1, 1], "bo", ms=6)
+            if gt is not None:
+                ie, ig = associate_indices(est.times, gt.times)
+                if len(ie) >= 3:
+                    r, t, sc = align_trajectory(
+                        gt.poses[ig], est.poses[ie], method=args.method
+                    )
+                    gta = sc * (r @ gt.poses[:, :3].T).T + t
+                    ax.plot(gta[:, 0], gta[:, 1], "k--", lw=0.8,
+                            label="ground truth (aligned)")
+                    err = np.linalg.norm(
+                        gta[ig] - est.poses[ie, :3], axis=1
+                    )
+                    ax.set_title(
+                        f"pos rmse so far: {np.sqrt(np.mean(err**2)):.3f} m"
+                    )
+            ax.axis("equal")
+            ax.grid(True, alpha=0.3)
+            ax.legend(loc="best", fontsize=8)
+            fig.savefig(args.out, dpi=110, bbox_inches="tight")
+            plt.close(fig)
+            print(f"[watch-run] {n} poses -> {args.out}", flush=True)
+        last_n = n
+        ticks += 1
+        if args.max_ticks and ticks >= args.max_ticks:
+            return
+        if stale >= args.stale_ticks:
+            print("[watch-run] estimate stopped growing; exiting", flush=True)
+            return
+        time.sleep(args.interval)
+
+
 def cmd_error_simulation(args):
     """State/bias errors + NEES against simulator ground truth
     (error_simulation.cpp / ResultSimulation analog)."""
@@ -957,6 +1020,19 @@ def main(argv=None):
                    choices=["posyaw", "se3", "sim3", "none"])
     s.add_argument("--out", default="aligned_gt.txt")
     s.set_defaults(fn=cmd_align_trajectory)
+
+    s = sub.add_parser("watch-run", help="live xy plot of a growing estimate")
+    s.add_argument("est", help="pose txt being written by run-vio")
+    s.add_argument("--gt", default=None, help="GT pose txt to align+overlay")
+    s.add_argument("--out", default="watch.png")
+    s.add_argument("--method", default="posyaw",
+                   choices=["posyaw", "se3", "sim3", "none"])
+    s.add_argument("--interval", type=float, default=1.0, help="poll seconds")
+    s.add_argument("--stale-ticks", type=int, default=10,
+                   help="exit after this many polls without growth")
+    s.add_argument("--max-ticks", type=int, default=0,
+                   help="hard tick limit (0 = none)")
+    s.set_defaults(fn=cmd_watch_run)
 
     s = sub.add_parser("error-simulation", help="state/bias errors + NEES vs sim GT")
     s.add_argument("est", help="state .npz from run-vio --state-out")

@@ -184,3 +184,26 @@ def test_cli_new_eval_tools(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "pos_rmse" in out.stdout and "NEES" in out.stdout
+
+
+def test_watch_run_once(tmp_path):
+    """watch-run on a static file writes one plot and exits on staleness."""
+    import numpy as np
+
+    from cuahn_vio.cli import main as cli_main
+    from cuahn_vio.eval import save_pose_file
+
+    t = np.arange(20) / 10.0
+    poses = np.zeros((20, 7))
+    poses[:, 0] = np.linspace(0, 2, 20)
+    poses[:, 6] = 1.0
+    est = str(tmp_path / "est.txt")
+    save_pose_file(est, t, poses)
+    out = str(tmp_path / "w.png")
+    cli_main([
+        "watch-run", est, "--gt", est, "--out", out,
+        "--interval", "0.05", "--stale-ticks", "2",
+    ])
+    import os
+
+    assert os.path.exists(out)
