@@ -19,7 +19,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from cuahn_vio import default_compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", default_compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

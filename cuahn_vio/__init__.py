@@ -29,6 +29,25 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def default_compile_cache_dir() -> str:
+    """Host-fingerprinted cache path: XLA:CPU persists AOT executables
+    whose machine features must match the executing host — loading an
+    entry compiled on a different CPU generation SIGILLs/segfaults
+    (cpu_aot_loader warns exactly this). Keying the directory by the CPU
+    flags makes stale cross-host entries unreachable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"/tmp/jax_cache_{fp}"
+    except Exception:
+        pass
+    return "/tmp/jax_cache_generic"
+
+
 def _enable_persistent_compile_cache() -> None:
     """Turn on JAX's persistent compilation cache for every entry point.
 
@@ -46,7 +65,9 @@ def _enable_persistent_compile_cache() -> None:
 
         jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("CUAHN_VIO_COMPILE_CACHE", "/tmp/jax_cache"),
+            _os.environ.get(
+                "CUAHN_VIO_COMPILE_CACHE", default_compile_cache_dir()
+            ),
         )
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -3,6 +3,7 @@ from cuahn_vio.ops.quat import (  # noqa: F401
     quat_mul,
     quat_exp,
     quat_log,
+    quat_conj,
     quat_normalize,
     quat_to_rot,
     rot_to_quat,

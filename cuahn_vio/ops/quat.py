@@ -85,6 +85,11 @@ def quat_log(q: jnp.ndarray) -> jnp.ndarray:
     return scale * v
 
 
+def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
+    """Conjugate (= inverse for unit quaternions), Hamilton wxyz."""
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
 def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
     """Normalize to unit quaternion (quatnorm, quat_ops.h:479)."""
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)

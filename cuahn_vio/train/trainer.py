@@ -46,18 +46,26 @@ class TrainConfig:
     logvar_clip: float = 6.0
     nll_weight: float = 0.3
     prior_prob: float = 0.5  # fraction of samples trained in prior mode
-    prior_noise_px: float = 3.0  # noise on the simulated EKF prior
+    # simulated-EKF-prior noise: per-sample sigma drawn log-uniform in
+    # [lo, hi] px — during fast flight the real propagated prior is far
+    # worse than a fixed 3 px, and the network must stay useful then
+    prior_noise_lo: float = 1.0
+    prior_noise_px: float = 6.0  # upper end of the log-uniform range
     height_range: tuple = (0.8, 3.0)
     trans_sigma: float = 0.06  # inter-frame translation (m), ~v/fps
     rot_sigma: float = 0.025  # inter-frame rotation (rad)
     tilt_sigma: float = 0.12  # absolute roll/pitch (rad)
+    # flight-realistic pose pairs from the real UZH-FPV GT trajectories
+    # (data/trajpairs.py, eval sequences held out): fraction of samples
+    # drawn from the bank instead of the i.i.d. random-pose model above
+    traj_pair_prob: float = 0.7
     # imagery realism (round 2): photo textures + sensor degradation
     use_textures: bool = True  # real-photo ground textures (data/textures.py)
     tex_scale_range: tuple = (1.5, 10.0)  # metres per texture period
     use_effects: bool = True  # vignette/exposure/noise chain
     exposure_frac_max: float = 0.5  # max exposure as fraction of frame dt
     blur_taps: int = 3  # pose taps per motion-blurred render
-    max_flow_px: float = 80.0  # samples beyond this are masked from the loss
+    max_flow_px: float = 120.0  # samples beyond this are masked from the loss
 
 
 class Batch(NamedTuple):
@@ -70,7 +78,7 @@ class Batch(NamedTuple):
 
 def sample_pair(
     key, c_rot_i, i_t_i2c, cfg: TrainConfig, height, width,
-    tex_bank=None, tex_indices=None,
+    tex_bank=None, tex_indices=None, pair_bank=None,
 ):
     """One synthetic training pair + exact corner-flow label, on device.
 
@@ -80,7 +88,7 @@ def sample_pair(
     the deployed system actually sees (real undistorted camera frames,
     VioManager.cpp:183-188). Without them, the round-1 procedural texture.
     """
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
     p1 = jnp.array([0.0, 0.0, 0.0]).at[2].set(
         jax.random.uniform(
             ks[0], minval=cfg.height_range[0], maxval=cfg.height_range[1]
@@ -98,6 +106,27 @@ def sample_pair(
     dq = quat_exp(rv_d)
     p2 = p1 + dp
     q2 = quat_mul(q1, dq)
+    if pair_bank is not None and cfg.traj_pair_prob > 0.0:
+        # flight-realistic pair from a real GT trajectory, with a random
+        # world-yaw rotation (the planar measurement model is yaw-invariant
+        # and the texture transform randomizes planar position)
+        bp1, bq1, bp2, bq2 = pair_bank
+        idx = jax.random.randint(ks[12], (), 0, bp1.shape[0])
+        yaw = jax.random.uniform(ks[13], minval=0.0, maxval=2 * np.pi)
+        q_yaw = quat_exp(jnp.array([0.0, 0.0, 1.0]) * yaw)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        use_traj = jax.random.bernoulli(ks[11], cfg.traj_pair_prob)
+        sel = lambda a, b: jnp.where(use_traj, a, b)
+        p1 = sel(rz @ bp1[idx], p1)
+        q1 = sel(quat_mul(q_yaw, bq1[idx]), q1)
+        p2 = sel(rz @ bp2[idx], p2)
+        q2 = sel(quat_mul(q_yaw, bq2[idx]), q2)
+        dp = p2 - p1  # blur taps follow the actual inter-frame motion
+        # relative rotation for the blur taps: q1^-1 q2 ~ exp(rv_d)
+        from cuahn_vio.ops.quat import quat_conj, quat_log
+
+        rv_d = quat_log(quat_mul(quat_conj(q1), q2))
 
     if tex_bank is not None:
         from cuahn_vio.data.textures import random_tex_params
@@ -146,8 +175,15 @@ def sample_pair(
     img2 = jnp.round(jnp.clip(img2, 0.0, 1.0) * 255.0) / 255.0
     gt_flow = true_corner_flow(p1, q1, p2, q2, c_rot_i, i_t_i2c)
     gt_flow = gt_flow * (width - 1) / 319.0  # scale if a tiny model is used
+    prior_sigma = jnp.exp(
+        jax.random.uniform(
+            ks[10],
+            minval=jnp.log(cfg.prior_noise_lo),
+            maxval=jnp.log(cfg.prior_noise_px),
+        )
+    )
     prior = gt_flow.reshape(4, 2) + jax.random.normal(ks[6], (4, 2)) * (
-        cfg.prior_noise_px * (width - 1) / 319.0
+        prior_sigma * (width - 1) / 319.0
     )
     # mask geometrically degenerate draws (corners flung far off-image blow
     # up the cascade loss — the step-39800 spike in train4.log)
@@ -157,12 +193,13 @@ def sample_pair(
 
 def make_batch(
     key, c_rot_i, i_t_i2c, cfg: TrainConfig, height=224, width=320,
-    tex_bank=None, tex_indices=None,
+    tex_bank=None, tex_indices=None, pair_bank=None,
 ):
     keys = jax.random.split(key, cfg.batch_size)
     f = jax.vmap(
         lambda k: sample_pair(
-            k, c_rot_i, i_t_i2c, cfg, height, width, tex_bank, tex_indices
+            k, c_rot_i, i_t_i2c, cfg, height, width, tex_bank, tex_indices,
+            pair_bank,
         )
     )
     img1, img2, gt, prior, valid = f(keys)
@@ -333,6 +370,23 @@ def train(
     else:
         tex_bank = tex_idx = None
 
+    pair_bank = None
+    if cfg.traj_pair_prob > 0.0:
+        try:
+            from cuahn_vio.data.trajpairs import build_pose_pair_bank
+
+            b = build_pose_pair_bank()
+            pair_bank = tuple(
+                jnp.asarray(b[k]) for k in ("p1", "q1", "p2", "q2")
+            )
+            log_fn(
+                f"trajectory pose-pair bank: {b['p1'].shape[0]} pairs "
+                f"({cfg.traj_pair_prob:.0%} of samples)", flush=True,
+            )
+        except Exception as e:  # GT files absent: fall back to random poses
+            log_fn(f"trajectory pair bank unavailable ({e}); random poses",
+                   flush=True)
+
     n_dev = len(jax.devices())
     batch_out_shardings = None
     if n_dev > 1 and cfg.batch_size % n_dev == 0:
@@ -348,13 +402,17 @@ def train(
         if tex_bank is not None:
             tex_bank = jax.device_put(tex_bank, rep)
             tex_idx = jax.device_put(tex_idx, rep)
+        if pair_bank is not None:
+            pair_bank = jax.device_put(pair_bank, rep)
         batch_out_shardings = Batch(
             img1=shard, img2=shard, gt_flow=shard, prior=shard, valid=shard
         )
         log_fn(f"data-parallel over {n_dev} devices (seq mesh)", flush=True)
 
-    def _gen(k, bank, idx):
-        return make_batch(k, c_rot_i, i_t_i2c, cfg, height, width, bank, idx)
+    def _gen(k, bank, idx, pairs):
+        return make_batch(
+            k, c_rot_i, i_t_i2c, cfg, height, width, bank, idx, pairs
+        )
 
     gen = jax.jit(_gen, out_shardings=batch_out_shardings)
     key = jax.random.PRNGKey(seed)
@@ -365,7 +423,7 @@ def train(
     host_rng = np.random.default_rng(seed)
     for i in range(steps):
         key, kb, ks = jax.random.split(key, 3)
-        batch = gen(kb, tex_bank, tex_idx)
+        batch = gen(kb, tex_bank, tex_idx, pair_bank)
         use_prior = bool(host_rng.random() < cfg.prior_prob)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, batch, ks, use_prior
