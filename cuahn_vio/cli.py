@@ -395,6 +395,8 @@ def cmd_run_vio(args):
         opts.up_linear_k_hnet_cov = args.k_net_cov
     if args.chi2_gate is not None:
         opts.chi2_gate = args.chi2_gate
+    if args.iekf is not None:
+        opts.max_iekf_iterations = args.iekf
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -1085,6 +1087,9 @@ def main(argv=None):
                         "(calibrate-covariance suggests this)")
     s.add_argument("--chi2-gate", type=float, default=None,
                    help="innovation chi2 rejection threshold override")
+    s.add_argument("--iekf", type=int, default=None,
+                   help="IEKF iterations override (max_IEKF_iteration, "
+                        "uzhfpv.launch:67)")
     s.set_defaults(fn=cmd_run_vio)
 
     s = sub.add_parser(
