@@ -60,6 +60,13 @@ def _enable_persistent_compile_cache() -> None:
     """
     if _os.environ.get("CUAHN_VIO_NO_COMPILE_CACHE"):
         return
+    # CPU-backend runs (tests, the driver's virtual-mesh dryrun) do NOT
+    # use the cache: XLA:CPU AOT executable serialization is experimental
+    # and segfaults intermittently inside serialize_executable, and CPU
+    # compiles are cheap anyway. The cache exists for the TPU path, where
+    # a cold vio_step compile costs minutes over the tunnel.
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     try:
         import jax
 

@@ -136,6 +136,83 @@ def cmd_plot_trajectories(args):
     print(f"wrote {args.out}")
 
 
+def cmd_plot_trackhist(args):
+    """Corner-flow track history drawn over a video frame — the offline
+    analog of the reference's /cuahn/trackhist image topic
+    (RosVisualizer.cpp:33-48 publish_trackhist): for each of the four
+    corner measurement points, the last N frames' network-measured flow
+    vectors (and the current frame's, highlighted), anchored at the
+    corner's pixel location, plus a chi2 strip so rejected measurements
+    are visible at a glance."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    seq = np.load(args.sequence)
+    log = np.load(args.state)
+    if "net_mean" not in log:
+        raise SystemExit(
+            "state log has no net_mean — re-run run-vio --state-out with "
+            "this version"
+        )
+    flows = log["net_mean"]  # (F, 8) px, in corner order UL BL BR UR
+    chi2 = log.get("net_chi2")
+    frames = seq["frames"]
+    # runner output row f corresponds to frame pair (f, f+1): the state
+    # log is one shorter than the frame array and offset by the frames
+    # consumed during initialization
+    off = len(frames) - len(flows)
+    f = args.frame if args.frame is not None else len(flows) - 1
+    f = int(np.clip(f, 0, len(flows) - 1))
+    lo = max(0, f - args.history)
+
+    img = frames[min(f + off, len(frames) - 1)]
+    h, w = img.shape
+    # corner pixel anchors, CORNER_XY1 order (State.h:110-113):
+    # x = cx +- 159.5 -> {0, w-1}, y = cy +- 111.5 -> {0, h-1}
+    anchors = np.array(
+        [[0, 0], [0, h - 1], [w - 1, h - 1], [w - 1, 0]], np.float32
+    )
+    fig, (ax, axc) = plt.subplots(
+        2, 1, figsize=(7, 6.4), height_ratios=[4, 1],
+        constrained_layout=True,
+    )
+    ax.imshow(img, cmap="gray")
+    cmap = plt.get_cmap("viridis")
+    for k in range(4):
+        base = anchors[k]
+        hist = flows[lo : f + 1, 2 * k : 2 * k + 2]  # (N, 2)
+        for i, v in enumerate(hist[:-1]):
+            c = cmap(i / max(1, len(hist) - 1))
+            ax.plot(
+                [base[0], base[0] + v[0]], [base[1], base[1] + v[1]],
+                color=c, lw=0.8, alpha=0.6,
+            )
+        v = hist[-1]
+        ax.annotate(
+            "", xy=(base[0] + v[0], base[1] + v[1]), xytext=tuple(base),
+            arrowprops=dict(color="red", width=1.2, headwidth=5),
+        )
+    ax.set_xlim(-30, w + 29)
+    ax.set_ylim(h + 29, -30)
+    ax.set_title(
+        f"corner-flow track history, frames {lo}..{f} "
+        f"(red = frame {f})", fontsize=9,
+    )
+    ax.axis("off")
+    if chi2 is not None:
+        axc.plot(np.arange(lo, f + 1), chi2[lo : f + 1], lw=1.0)
+        axc.axhline(7.3441, color="g", ls="--", lw=0.8, label="8-DoF median")
+        axc.set_yscale("log")
+        axc.set_xlabel("frame", fontsize=8)
+        axc.set_ylabel("innovation chi2", fontsize=8)
+        axc.legend(fontsize=7)
+        axc.grid(True, alpha=0.3)
+    fig.savefig(args.out, dpi=130)
+    print(f"wrote {args.out}")
+
+
 def cmd_format_converter(args):
     from cuahn_vio.eval import (
         load_euroc_csv,
@@ -437,6 +514,7 @@ def cmd_run_vio(args):
             ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
             net_chi2=res.net_chi2, net_inno=res.net_inno,
             cov_meas=res.cov_meas, net_cov88=res.net_cov88,
+            net_mean=res.net_mean,
         )
         print(f"wrote full state -> {args.state_out}")
     if args.odom_out:
@@ -568,6 +646,138 @@ def cmd_make_synthetic(args):
     cfg_path = os.path.splitext(args.out)[0] + "_config.yaml"
     opts.to_yaml(cfg_path)
     print(f"wrote {args.out}, {gt_path}, {state_gt_path} and {cfg_path}")
+
+
+def cmd_eval_flow(args):
+    """Network measurement quality in isolation: run the UAHN on every
+    consecutive frame pair of a rendered sequence and compare the predicted
+    4-point flow with the ORACLE flow computed from the simulator GT poses
+    (data/oracle.py true_corner_flow — the exact quantity the network is
+    trained to estimate, model_to_trace.py:299-330 output 1). Separates
+    'the network measures badly' from 'the filter uses measurements badly':
+    filter-independent px error + uncertainty-calibration ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuahn_vio.data.oracle import true_corner_flow
+    from cuahn_vio.eval.simulation import load_state_gt
+    from cuahn_vio.models.uahn import init_uahn
+    from cuahn_vio.utils.checkpoint import load_params
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45()
+    )
+    fp = opts.filter_params()
+    d = np.load(args.sequence)
+    frames, cam_t = d["frames"], d["cam_t"]
+    gt = load_state_gt(args.state_gt)
+
+    # GT row nearest to each camera timestamp
+    idx = np.searchsorted(gt.times, cam_t)
+    idx = np.clip(idx, 0, len(gt.times) - 1)
+    lo = np.clip(idx - 1, 0, len(gt.times) - 1)
+    pick = np.where(
+        np.abs(gt.times[lo] - cam_t) < np.abs(gt.times[idx] - cam_t), lo, idx
+    )
+    pose = gt.pose[pick]  # (F, 7) [xyz qx qy qz qw]
+    p_w = jnp.asarray(pose[:, :3], jnp.float32)
+    q_wxyz = jnp.asarray(pose[:, [6, 3, 4, 5]], jnp.float32)
+
+    flow_true = jax.vmap(
+        lambda p1, q1, p2, q2: true_corner_flow(
+            p1, q1, p2, q2, fp.c_rot_i, fp.i_t_i2c
+        )
+    )(p_w[:-1], q_wxyz[:-1], p_w[1:], q_wxyz[1:])  # (F-1, 8)
+
+    model, params = init_uahn(jax.random.PRNGKey(0))
+    params = load_params(args.weights, params)
+    use_prior = args.prior != "none"
+
+    @jax.jit
+    def infer(img1, img2, prior_px, key):
+        return jax.vmap(
+            lambda a, b, pr, k: model.apply(
+                {"params": params}, a, b,
+                pr if use_prior else None,
+                use_prior=use_prior,
+                rngs={"dropout": k},
+            )
+        )(img1, img2, prior_px, key)
+
+    n = len(frames) - 1
+    if args.limit:
+        n = min(n, args.limit)
+    imgs = jnp.asarray(frames[: n + 1], jnp.float32) / 255.0
+    rng = jax.random.PRNGKey(args.seed)
+    preds, covs = [], []
+    bs = args.batch
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        prior = flow_true[s:e].reshape(-1, 4, 2)
+        if args.prior == "noisy":
+            prior = prior + 2.0 * jax.random.normal(
+                jax.random.fold_in(rng, 10_000 + s), prior.shape
+            )
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            rng, jnp.arange(s, e)
+        )
+        flow8, cov88 = infer(imgs[s:e], imgs[s + 1 : e + 1], prior, keys)
+        preds.append(np.asarray(flow8))
+        covs.append(np.asarray(cov88))
+    pred = np.concatenate(preds)  # (n, 8)
+    cov = np.concatenate(covs)  # (n, 8, 8)
+    true = np.asarray(flow_true[:n])
+
+    err = pred - true  # px
+    enorm = np.linalg.norm(err.reshape(n, 4, 2), axis=2)  # per-corner px
+    sig = np.sqrt(np.maximum(np.einsum("fii->fi", cov), 1e-12))
+    # z-scores: per-component error / predicted sigma (calibrated ~ N(0,1))
+    z = err / sig
+    flow_mag = np.linalg.norm(true.reshape(n, 4, 2), axis=2)
+    print(f"frames: {n}, prior={args.prior}")
+    print(
+        f"true |flow|   px: median {np.median(flow_mag):.2f}, "
+        f"p95 {np.percentile(flow_mag, 95):.2f}, max {flow_mag.max():.2f}"
+    )
+    print(
+        f"corner error  px: rmse {np.sqrt((enorm ** 2).mean()):.3f}, "
+        f"median {np.median(enorm):.3f}, p95 {np.percentile(enorm, 95):.3f}, "
+        f"max {enorm.max():.2f}"
+    )
+    print(
+        f"pred sigma    px: median {np.median(sig):.3f}, "
+        f"p95 {np.percentile(sig, 95):.3f}"
+    )
+    print(
+        f"z-score (err/sigma): median |z| {np.median(np.abs(z)):.2f} "
+        f"(calibrated ~0.67), p95 |z| {np.percentile(np.abs(z), 95):.2f} "
+        f"(~1.96), rms z {np.sqrt((z ** 2).mean()):.2f} (~1.0)"
+    )
+    # regime split: frames whose true flow stays in the measurement's
+    # useful range vs degenerate high-tilt frames (corner rays grazing the
+    # ground-plane horizon make the oracle flow — and the measurement
+    # itself — blow up; the filter must survive those on the prior alone)
+    good = flow_mag.max(axis=1) <= args.flow_cap
+    if good.any() and not good.all():
+        eg, zg = enorm[good], z[good]
+        print(
+            f"regime |flow|<= {args.flow_cap:g} px: {int(good.sum())}/{n} "
+            f"frames | err px rmse {np.sqrt((eg ** 2).mean()):.3f}, "
+            f"median {np.median(eg):.3f}, p95 {np.percentile(eg, 95):.3f} "
+            f"| rms z {np.sqrt((zg ** 2).mean()):.2f}"
+        )
+    worst = np.argsort(enorm.max(axis=1))[-5:][::-1]
+    print("worst frames:", ", ".join(
+        f"{i} ({enorm[i].max():.1f} px)" for i in worst
+    ))
+    if args.out:
+        np.savez_compressed(
+            args.out, pred=pred, true=true, cov=cov, times=cam_t[:n]
+        )
+        print(f"wrote {args.out}")
 
 
 def cmd_close_loops(args):
@@ -997,6 +1207,18 @@ def main(argv=None):
     s.add_argument("--out", default="trajectories.png")
     s.set_defaults(fn=cmd_plot_trajectories)
 
+    s = sub.add_parser(
+        "plot-trackhist", help="corner-flow track history over a frame"
+    )
+    s.add_argument("sequence", help=".npz sequence (frames)")
+    s.add_argument("state", help=".npz from run-vio --state-out")
+    s.add_argument("--frame", type=int, default=None,
+                   help="state-log row to highlight (default: last)")
+    s.add_argument("--history", type=int, default=45,
+                   help="how many past frames of flow to draw")
+    s.add_argument("--out", default="trackhist.png")
+    s.set_defaults(fn=cmd_plot_trackhist)
+
     s = sub.add_parser("format-converter", help="EuRoC csv <-> pose txt")
     s.add_argument("input")
     s.add_argument("output")
@@ -1131,6 +1353,24 @@ def main(argv=None):
                    help="sensor-effect chain: vignette, exposure drift, "
                         "defocus, shot+read noise")
     s.set_defaults(fn=cmd_make_synthetic)
+
+    s = sub.add_parser(
+        "eval-flow", help="network flow error vs oracle (filter-independent)"
+    )
+    s.add_argument("sequence", help=".npz sequence (frames + cam_t)")
+    s.add_argument("state_gt", help="simulator state GT txt (17-col)")
+    s.add_argument("--weights", required=True)
+    s.add_argument("--config", default=None)
+    s.add_argument("--prior", choices=["none", "gt", "noisy"], default="gt",
+                   help="prior fed to the cascade: none = all 4 blocks, "
+                        "gt = oracle flow, noisy = oracle + 2 px noise")
+    s.add_argument("--batch", type=int, default=16)
+    s.add_argument("--limit", type=int, default=0)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--flow-cap", type=float, default=80.0,
+                   help="px bound of the non-degenerate measurement regime")
+    s.add_argument("--out", default=None, help="optional .npz dump")
+    s.set_defaults(fn=cmd_eval_flow)
 
     s = sub.add_parser("close-loops", help="UAHN loop factors for a run")
     s.add_argument("sequence", help=".npz sequence (frames)")

@@ -62,6 +62,7 @@ class RunResult(NamedTuple):
     net_inno: Optional[np.ndarray] = None  # (F, 8) innovations (normalized)
     cov_meas: Optional[np.ndarray] = None  # (F, 8, 8) H P H^T per frame
     net_cov88: Optional[np.ndarray] = None  # (F, 8, 8) network cov (px^2)
+    net_mean: Optional[np.ndarray] = None  # (F, 8) network 4pt flow (px)
 
 
 def _streaming_init(imu_t, imu_w, imu_a, cam_t, opts: RunnerOptions):
@@ -105,6 +106,7 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
         net_inno=np.asarray(out.net_inno),
         cov_meas=np.asarray(out.cov_meas),
         net_cov88=np.asarray(out.net_cov88),
+        net_mean=np.asarray(out.net_mean),
     )
 
 

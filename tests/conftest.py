@@ -21,11 +21,9 @@ import jax  # noqa: E402
 # jax may already be imported by a pytest plugin with the env-pinned
 # platform; config.update wins as long as no backend is initialized yet.
 jax.config.update("jax_platforms", "cpu")
-from cuahn_vio import default_compile_cache_dir  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", default_compile_cache_dir())
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache here — XLA:CPU AOT executable
+# serialization segfaults intermittently (see _enable_persistent_compile
+# _cache in cuahn_vio/__init__.py, which also skips CPU backends).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -207,3 +207,26 @@ def test_watch_run_once(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_plot_trackhist(tmp_path):
+    """plot-trackhist draws the corner-flow history image from a
+    sequence + state log (RosVisualizer trackhist analog)."""
+    import numpy as np
+
+    from cuahn_vio.cli import main as cli_main
+
+    rng = np.random.default_rng(0)
+    seq = str(tmp_path / "seq.npz")
+    np.savez(seq, frames=rng.integers(0, 255, (12, 224, 320)).astype(np.uint8))
+    state = str(tmp_path / "state.npz")
+    np.savez(
+        state,
+        net_mean=rng.normal(size=(10, 8)).astype(np.float32) * 5,
+        net_chi2=rng.uniform(1, 30, 10).astype(np.float32),
+    )
+    out = str(tmp_path / "track.png")
+    cli_main(["plot-trackhist", seq, state, "--history", "6", "--out", out])
+    import os
+
+    assert os.path.exists(out)
