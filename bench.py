@@ -127,6 +127,15 @@ def main():
         print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
         if batch_fps > best_batch_fps:
             best_batch_fps, best_batch = batch_fps, batch
+        elif batch_fps < 0.5 * best_batch_fps:
+            # a >2x drop is a cliff (OOM spill / bad layout), not a knee —
+            # shout so it can't hide in the log (VERDICT r2 weak #4)
+            print(
+                f"# WARNING: batch x{batch} collapsed to {batch_fps:.1f} "
+                f"frames/s ({best_batch_fps / batch_fps:.1f}x below best) — "
+                "investigate, this is a cliff, not a knee"
+            )
+            break
         elif batch_fps < 0.9 * best_batch_fps:
             break  # past the knee
     print(f"# best batch: {best_batch}")
