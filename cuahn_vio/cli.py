@@ -401,8 +401,10 @@ def cmd_error_simulation(args):
         print(f"  {k:10s} {v:.6f}")
     if sim.cov is not None:
         neo, nep = sim.calculate_nees()
-        print(f"  NEES ori  mean {neo.mean:.3f} (target ~3)")
+        print(f"  NEES ori  mean {neo.mean:.3f} (roll/pitch 2-DoF, target ~2;"
+              " yaw gauge-fixed, excluded)")
         print(f"  NEES pos  mean {nep.mean:.3f} (target ~3)")
+        print(f"  NEES pos  median {nep.median:.3f}")
     if args.plot:
         import matplotlib
 

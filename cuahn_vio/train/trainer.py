@@ -320,6 +320,52 @@ def make_train_step(model: UAHN, cfg: TrainConfig, tx: optax.GradientTransformat
     return train_step
 
 
+def make_probe_metric(model: UAHN, c_rot_i, i_t_i2c, cfg: TrainConfig,
+                      height: int, width: int, probe_size: int,
+                      probe_seed: int = 20240817):
+    """Fixed HELD-OUT-texture probe: the in-training evaluation signal
+    (VERDICT r2 #7). Renders one frozen batch from the heldout texture
+    split (the textures eval replays use, never trained on) and returns a
+    jitted fn params -> (prior-mode, no-prior) mean corner-flow px error —
+    the same statistic ``cli.py eval-flow`` reports, so training progress
+    is measured in the unit that decides replay ATE, not in loss units."""
+    from cuahn_vio.data.textures import get_texture_bank, heldout_indices
+
+    bank_np = get_texture_bank()
+    hk = jnp.asarray(heldout_indices(len(bank_np)))
+    bank = jnp.asarray(bank_np)
+    probe_cfg = cfg  # same pose/degradation distribution as training
+    keys = jax.random.split(jax.random.PRNGKey(probe_seed), probe_size)
+    img1, img2, gt, prior, valid = jax.vmap(
+        lambda k: sample_pair(
+            k, c_rot_i, i_t_i2c, probe_cfg, height, width, bank, hk, None
+        )
+    )(keys)
+    drop_key = jax.random.PRNGKey(probe_seed + 1)
+
+    @jax.jit
+    def metric(params):
+        def fwd(i1, i2, pr, use_prior):
+            flow8, _ = model.apply(
+                {"params": params}, i1, i2,
+                pr if use_prior else None, use_prior,
+                rngs={"dropout": drop_key},
+            )
+            return flow8
+
+        errs = []
+        for use_prior in (True, False):
+            pred = jax.vmap(lambda a, b, p: fwd(a, b, p, use_prior))(
+                img1, img2, prior
+            )
+            e = jnp.linalg.norm((pred - gt).reshape(-1, 4, 2), axis=-1)
+            w = jnp.repeat(valid, 4)
+            errs.append(jnp.sum(e.reshape(-1) * w) / jnp.maximum(w.sum(), 1.0))
+        return errs[0], errs[1]
+
+    return metric
+
+
 def train(
     model: UAHN,
     params,
@@ -334,9 +380,15 @@ def train(
     log_fn=print,
     checkpoint_path: Optional[str] = None,
     save_every: int = 500,
+    probe_every: int = 1000,
 ):
     """Run the training loop; returns trained params. Saves intermediate
     checkpoints to ``checkpoint_path`` every ``save_every`` steps.
+
+    Every ``probe_every`` steps the held-out-texture probe metric (mean
+    corner-flow px error, see make_probe_metric) is logged, and the
+    best-by-probe params are checkpointed to ``<checkpoint_path>.best`` —
+    weight selection by the quantity that matters, not the last step.
 
     Data parallelism: with more than one visible device (and batch_size a
     multiple of the device count) the batch is sharded over a 1-D ``seq``
@@ -415,6 +467,14 @@ def train(
         )
 
     gen = jax.jit(_gen, out_shardings=batch_out_shardings)
+
+    probe_fn = None
+    best_probe = float("inf")
+    if probe_every and cfg.use_textures:
+        probe_fn = make_probe_metric(
+            model, c_rot_i, i_t_i2c, cfg, height, width, probe_size=32
+        )
+
     key = jax.random.PRNGKey(seed)
     # the prior-mode coin flip is drawn on the HOST: a device bernoulli
     # would force a device->host sync every step, which costs ~0.5 s per
@@ -437,6 +497,21 @@ def train(
                 f" prior={use_prior} skipped={skipped}",
                 flush=True,
             )
+        if probe_fn is not None and (
+            (i and i % probe_every == 0) or i == steps - 1
+        ):
+            e_prior, e_noprior = jax.device_get(probe_fn(params))
+            log_fn(
+                f"step {i:5d} PROBE heldout-tex corner err px: "
+                f"prior {float(e_prior):.3f} noprior {float(e_noprior):.3f}"
+                f" (best {min(best_probe, float(e_prior)):.3f})",
+                flush=True,
+            )
+            if checkpoint_path and float(e_prior) < best_probe:
+                best_probe = float(e_prior)
+                from cuahn_vio.utils.checkpoint import save_params
+
+                save_params(checkpoint_path + ".best", params)
         if checkpoint_path and save_every and i and i % save_every == 0:
             from cuahn_vio.utils.checkpoint import save_params
 
