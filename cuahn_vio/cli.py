@@ -476,6 +476,10 @@ def cmd_run_vio(args):
         opts.chi2_gate = args.chi2_gate
     if args.iekf is not None:
         opts.max_iekf_iterations = args.iekf
+    if args.q_scale is not None:
+        opts.process_noise_scale = args.q_scale
+    if args.q_pos_extra is not None:
+        opts.extra_position_noise = args.q_pos_extra
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -1314,6 +1318,12 @@ def main(argv=None):
     s.add_argument("--iekf", type=int, default=None,
                    help="IEKF iterations override (max_IEKF_iteration, "
                         "uzhfpv.launch:67)")
+    s.add_argument("--q-scale", type=float, default=None,
+                   help="process-noise variance multiplier override "
+                        "(VioOptions.process_noise_scale)")
+    s.add_argument("--q-pos-extra", type=float, default=None,
+                   help="extra position process noise override "
+                        "(Propagator.h:97 analog, default 1e-4)")
     s.set_defaults(fn=cmd_run_vio)
 
     s = sub.add_parser(

@@ -88,23 +88,28 @@ def make_params(
     sigma_ab: float = 0.04472136,
     k_net_cov: float = 10.0,
     chi2_gate: float = 1000.0,
+    q_scale: float = 1.0,
+    extra_pos_noise: float = 1.0e-4,
     dtype=jnp.float32,
 ) -> FilterParams:
     """Build FilterParams from the 4x4 T_ItoC extrinsic and noise densities.
 
     Noise defaults are the UZH-FPV launch values (cuahn/launch/uzhfpv.launch:
-    70-74); Q layout per Propagator.h:93-97 including the extra 1e-4*I
-    position process noise.
+    70-74); Q layout per Propagator.h:93-97 including the extra position
+    process noise (hardcoded 1e-4*I there, configurable here). ``q_scale``
+    multiplies the four sensor-noise variances — the launch sigmas model
+    sensor noise only, while the filter also absorbs measurement-model error
+    (see VioOptions.process_noise_scale).
     """
     t = jnp.asarray(t_imu_to_cam, dtype)
     c_rot_i = t[:3, :3]
     i_t_i2c = -c_rot_i.T @ t[:3, 3]
     q = jnp.zeros((15, 15), dtype)
-    q = q.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * sigma_w**2)
-    q = q.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * sigma_a**2)
-    q = q.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * sigma_ab**2)
-    q = q.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * sigma_wb**2)
-    q = q.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * 1.0e-4)
+    q = q.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * (q_scale * sigma_w**2))
+    q = q.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * (q_scale * sigma_a**2))
+    q = q.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * (q_scale * sigma_ab**2))
+    q = q.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * (q_scale * sigma_wb**2))
+    q = q.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * extra_pos_noise)
     return FilterParams(
         c_rot_i=c_rot_i,
         i_t_i2c=i_t_i2c,

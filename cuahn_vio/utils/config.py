@@ -58,6 +58,15 @@ class VioOptions:
     gyroscope_random_walk: float = 8.94427e-04
     accelerometer_noise_density: float = 0.01118034
     accelerometer_random_walk: float = 0.04472136
+    # variance multiplier on the whole 15x15 Q and the extra position
+    # process-noise term (the hardcoded 1e-4*I of Propagator.h:97). The
+    # launch sigmas model SENSOR noise; the network measurement model also
+    # violates its assumptions (non-planar scene patches, rolling texture
+    # parallax, time discretization), and the replay-calibrated scale that
+    # keeps the filter consistent under those model errors is well above 1
+    # (eval/tuning.py sweep, round 3).
+    process_noise_scale: float = 1.0
+    extra_position_noise: float = 1.0e-4
 
     # updater (UpdaterOptions.h:33, uzhfpv.launch:65)
     up_linear_k_hnet_cov: float = 10.0
@@ -143,6 +152,8 @@ class VioOptions:
             sigma_ab=self.accelerometer_random_walk,
             k_net_cov=self.up_linear_k_hnet_cov,
             chi2_gate=self.chi2_gate,
+            q_scale=self.process_noise_scale,
+            extra_pos_noise=self.extra_position_noise,
         )
 
     def vio_config(self) -> VioConfig:
