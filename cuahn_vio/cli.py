@@ -393,18 +393,30 @@ def cmd_error_simulation(args):
     sim = ResultSimulation(
         d["times"], d["pose"], gt,
         est_v_body=d.get("v_body"), est_ba=d.get("ba"), est_bg=d.get("bg"),
-        est_cov_diag=d.get("cov_diag"),
+        est_cov_diag=d.get("cov_diag"), est_cov_core=d.get("cov_core"),
     )
     summary = sim.summary()
     print(f"matched {len(sim.times)} est/gt pairs")
     for k, v in summary.items():
         print(f"  {k:10s} {v:.6f}")
+    if sim.cov_core is not None:
+        obs = sim.calculate_nees_observable()
+        print("  observable-subspace NEES (gauge directions excluded — "
+              "world x/y + yaw are unobservable by construction):")
+        print(f"    height 1-DoF: mean {obs['height'].mean:9.3f} "
+              f"median {obs['height'].median:7.3f} (target ~1)")
+        print(f"    tilt   2-DoF: mean {obs['tilt'].mean:9.3f} "
+              f"median {obs['tilt'].median:7.3f} (target ~2)")
+        if obs["vel"] is not None:
+            print(f"    vel    3-DoF: mean {obs['vel'].mean:9.3f} "
+                  f"median {obs['vel'].median:7.3f} (target ~3)")
     if sim.cov is not None:
         neo, nep = sim.calculate_nees()
-        print(f"  NEES ori  mean {neo.mean:.3f} (roll/pitch 2-DoF, target ~2;"
-              " yaw gauge-fixed, excluded)")
-        print(f"  NEES pos  mean {nep.mean:.3f} (target ~3)")
-        print(f"  NEES pos  median {nep.median:.3f}")
+        print("  full-state NEES (gauge-polluted: unobservable world-x/y "
+              "and yaw drift carry no covariance and leak into every "
+              "robocentric component — see calculate_nees_observable):")
+        print(f"    ori  mean {neo.mean:.3f} (roll/pitch 2-DoF)")
+        print(f"    pos  mean {nep.mean:.3f} median {nep.median:.3f}")
     if args.plot:
         import matplotlib
 
@@ -518,6 +530,7 @@ def cmd_run_vio(args):
             args.state_out,
             times=res.times, pose=res.pose_w, v_body=res.v_body,
             ba=res.ba, bg=res.bg, cov_diag=res.cov_diag,
+            cov_core=res.cov_core,
             net_chi2=res.net_chi2, net_inno=res.net_inno,
             cov_meas=res.cov_meas, net_cov88=res.net_cov88,
             net_mean=res.net_mean,

@@ -24,6 +24,12 @@ from cuahn_vio.eval.align import associate_indices, log_so3
 from cuahn_vio.eval.metrics import Statistics, _pose_to_T
 
 
+def _skew(v: np.ndarray) -> np.ndarray:
+    return np.array(
+        [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]]
+    )
+
+
 class StateGT(NamedTuple):
     times: np.ndarray  # (N,)
     pose: np.ndarray  # (N, 7) [x y z qx qy qz qw], world frame
@@ -90,6 +96,7 @@ class ResultSimulation:
         est_ba: Optional[np.ndarray] = None,
         est_bg: Optional[np.ndarray] = None,
         est_cov_diag: Optional[np.ndarray] = None,
+        est_cov_core: Optional[np.ndarray] = None,
         tol: float = 0.02,
     ):
         ie, ig = associate_indices(est_times, gt.times, 0.0, tol)
@@ -105,6 +112,7 @@ class ResultSimulation:
         self.est_ba = None if est_ba is None else est_ba[ie]
         self.est_bg = None if est_bg is None else est_bg[ie]
         self.cov = None if est_cov_diag is None else est_cov_diag[ie]
+        self.cov_core = None if est_cov_core is None else est_cov_core[ie]
 
         # rotations (body->world) for frame conversions
         self._r_est = np.stack([_pose_to_T(p)[:3, :3] for p in self.est_pose])
@@ -175,6 +183,67 @@ class ResultSimulation:
         stats_p.calculate()
         stats_o.calculate()
         return stats_o, stats_p
+
+    def calculate_nees_observable(self):
+        """NEES restricted to the OBSERVABLE subspace of the planar-homography
+        + IMU system, with exact covariance propagation from the full 15x15
+        core block.
+
+        The full-state pos/ori NEES of this sensor suite is gauge-polluted:
+        world x/y position and yaw are unobservable (their initial variance
+        is fixed to exactly 0, StateHelper.cpp:34-63, and no measurement ever
+        constrains them), so their drift accumulates real error with no
+        matching covariance — and because the filter states are ROBOCENTRIC,
+        a world-frame gauge drift leaks into every body-frame component
+        whenever the body tilts. What IS observable: height over the plane
+        (world z), gravity direction (roll/pitch tilt), and body velocity.
+
+        Returns a dict of Statistics: ``height`` (1 DoF, target ~1),
+        ``tilt`` (2 DoF yaw-free attitude, target ~2), ``vel`` (3 DoF,
+        target ~3). Requires est_cov_core.
+
+        First-order error propagation (right/body perturbation delta_th,
+        R_est = R_hat exp([delta_th]x); body-frame position error delta_p):
+          world position error  dp_w = R dp - R [p_body]x dth
+            -> height var = row J = [R, -R [p]x][2, :] of cov[0:6, 0:6]
+          world attitude error  phi_w = R dth; yaw gauge = phi_w . e_z
+            -> tilt NEES over phi_w[0:2] with cov R Sigma_th R^T [0:2, 0:2]
+        """
+        if self.cov_core is None:
+            raise ValueError("observable NEES requires est_cov_core")
+        st_h, st_t, st_v = Statistics(), Statistics(), Statistics()
+        for i in range(len(self.times)):
+            r = self._r_est[i]
+            p_body = r.T @ self.est_pose[i, :3]
+            cov6 = self.cov_core[i, :6, :6]
+
+            # height (world z)
+            jac = np.concatenate([r, -r @ _skew(p_body)], axis=1)  # (3, 6)
+            var_pw = jac @ cov6 @ jac.T
+            dz = self.est_pose[i, 2] - self.gt_pose[i, 2]
+            st_h.add(self.times[i], dz * dz / max(var_pw[2, 2], 1e-20))
+
+            # yaw-free tilt: world-frame attitude error, z (gauge) removed
+            phi_w = self._r_est[i] @ log_so3(
+                self._r_gt[i].T @ self._r_est[i]
+            )
+            cov_phi = r @ self.cov_core[i, 3:6, 3:6] @ r.T
+            c2 = cov_phi[:2, :2] + np.eye(2) * 1e-20
+            e2 = phi_w[:2]
+            st_t.add(self.times[i], float(e2 @ np.linalg.solve(c2, e2)))
+
+            # body velocity (fully observable through the flow measurement)
+            if self.est_v is not None:
+                v_gt_body = self._r_gt[i].T @ self.gt_vel[i]
+                ev = self.est_v[i] - v_gt_body
+                cv = self.cov_core[i, 6:9, 6:9] + np.eye(3) * 1e-20
+                st_v.add(self.times[i], float(ev @ np.linalg.solve(cv, ev)))
+        st_h.calculate()
+        st_t.calculate()
+        if self.est_v is not None:
+            st_v.calculate()
+        return {"height": st_h, "tilt": st_t,
+                "vel": st_v if self.est_v is not None else None}
 
     def summary(self) -> dict:
         """rmse per state block (meters / rad / m/s / biases)."""

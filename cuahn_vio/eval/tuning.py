@@ -181,7 +181,8 @@ def score_sweep(
                     times, pose, state_gt,
                     est_v_body=outs.v_body[g],
                     est_ba=outs.ba[g], est_bg=outs.bg[g],
-                    est_cov_diag=outs.cov_diag[g],
+                    est_cov_diag=np.einsum("fii->fi", outs.cov_core[g]),
+                    est_cov_core=outs.cov_core[g],
                 )
                 neo, nep = sim.calculate_nees()
                 row["nees_pos"] = float(nep.mean)

@@ -57,6 +57,7 @@ class RunResult(NamedTuple):
     ba: Optional[np.ndarray] = None  # (F, 3) accel bias estimate
     bg: Optional[np.ndarray] = None  # (F, 3) gyro bias estimate
     cov_diag: Optional[np.ndarray] = None  # (F, 15) core cov diagonal
+    cov_core: Optional[np.ndarray] = None  # (F, 15, 15) full core cov block
     n_recoveries: int = 0  # divergence-guard rollbacks (stepwise runner)
     net_chi2: Optional[np.ndarray] = None  # (F,) innovation chi2 per frame
     net_inno: Optional[np.ndarray] = None  # (F, 8) innovations (normalized)
@@ -90,7 +91,7 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
     p = np.asarray(out.p_world)
     q = np.asarray(out.q)  # wxyz
     pose = np.concatenate([p, q[:, [1, 2, 3, 0]]], axis=1)
-    cov = np.asarray(out.cov_pose)
+    cov = np.asarray(out.cov_core)
     return RunResult(
         times=np.asarray(times),
         pose_w=pose,
@@ -101,7 +102,8 @@ def _outputs_to_result(out: FrameOutput, times, t0, stage_ms=None) -> RunResult:
         v_body=np.asarray(out.v_body),
         ba=np.asarray(out.ba),
         bg=np.asarray(out.bg),
-        cov_diag=np.asarray(out.cov_diag),
+        cov_diag=np.einsum("fii->fi", cov).copy(),
+        cov_core=cov,
         net_chi2=np.asarray(out.net_chi2),
         net_inno=np.asarray(out.net_inno),
         cov_meas=np.asarray(out.cov_meas),
@@ -210,10 +212,9 @@ def run_stepwise(
             p_world=rot @ state.p,
             q=state.q,
             v_body=state.v,
-            cov_pose=state.cov[:6, :6],
+            cov_core=state.cov[:15, :15],
             ba=state.ba,
             bg=state.bg,
-            cov_diag=jnp.diagonal(state.cov)[:15],
         )
 
     last_good = carry

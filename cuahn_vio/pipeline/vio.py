@@ -56,12 +56,14 @@ class FrameOutput(NamedTuple):
     p_world: jnp.ndarray  # (3,) IMU position in world frame
     q: jnp.ndarray  # (4,) wxyz IMU->world
     v_body: jnp.ndarray  # (3,) velocity, IMU frame
-    cov_pose: jnp.ndarray  # (6, 6) [p; theta] covariance block
+    cov_core: jnp.ndarray  # (15, 15) core error-state covariance block
+    # [p th v ba bg] — full block (not just the diagonal) so offline
+    # consistency checks can propagate through frame changes exactly
+    # (eval/simulation.py observable-subspace NEES)
     net_mean: jnp.ndarray  # (8,) last network flow (px), for diagnostics
     net_cov_tr: jnp.ndarray  # () trace of net covariance (px^2)
     ba: jnp.ndarray  # (3,) accel bias estimate
     bg: jnp.ndarray  # (3,) gyro bias estimate
-    cov_diag: jnp.ndarray  # (15,) core error-state covariance diagonal
     net_chi2: jnp.ndarray  # () innovation Mahalanobis distance (8 DoF);
     # >= FilterParams.chi2_gate means the measurement was rejected
     # --- covariance-calibration log (eval/calibration.py): refit k_net_cov
@@ -134,12 +136,11 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
             p_world=rot @ state.p,
             q=state.q,
             v_body=state.v,
-            cov_pose=state.cov[:6, :6],
+            cov_core=state.cov[:15, :15],
             net_mean=net_mean,
             net_cov_tr=net_cov_tr,
             ba=state.ba,
             bg=state.bg,
-            cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=net_chi2,
             net_inno=net_inno,
             cov_meas=cov_meas,
@@ -199,12 +200,11 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
             p_world=rot @ state.p,
             q=state.q,
             v_body=state.v,
-            cov_pose=state.cov[:6, :6],
+            cov_core=state.cov[:15, :15],
             net_mean=net_mean,
             net_cov_tr=jnp.trace(net_cov88),
             ba=state.ba,
             bg=state.bg,
-            cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=net_chi2,
             net_inno=net_inno,
             cov_meas=cov_meas,
@@ -278,12 +278,11 @@ def run_sequence_with_measurements(
             p_world=rot @ state.p,
             q=state.q,
             v_body=state.v,
-            cov_pose=state.cov[:6, :6],
+            cov_core=state.cov[:15, :15],
             net_mean=z,
             net_cov_tr=jnp.trace(r),
             ba=state.ba,
             bg=state.bg,
-            cov_diag=jnp.diagonal(state.cov)[:15],
             net_chi2=chi2,
             net_inno=inno,
             cov_meas=p_meas,

@@ -213,3 +213,50 @@ def test_resource_monitor():
     s = mon.stop()
     assert s["samples"] >= 2
     assert s["rss_max_mb"] > 10.0
+
+
+def test_observable_nees_consistent(rng):
+    """Errors drawn in the filter's OWN error coordinates (robocentric
+    delta_p, body delta_theta, body delta_v) against the matching cov_core
+    land on the chi-square targets (1 / 2 / 3); an unobservable yaw drift
+    with ZERO yaw covariance must NOT blow up the observable-subspace NEES
+    (it is the gauge direction the metric exists to exclude)."""
+    from cuahn_vio.ops.quat import quat_mul, quat_exp, quat_to_rot
+
+    gt = _make_gt(2000)
+    n = len(gt.times)
+    sp, st_, sv = 0.04, 0.01, 0.03
+    cov_core = np.zeros((n, 15, 15))
+    cov_core[:, 0:3, 0:3] = np.eye(3) * sp**2
+    cov_core[:, 3:5, 3:5] = np.eye(2) * st_**2
+    cov_core[:, 5, 5] = 1e-20  # yaw gauge: variance exactly ~0
+    cov_core[:, 6:9, 6:9] = np.eye(3) * sv**2
+
+    est_pose = gt.pose.copy()
+    est_v = np.zeros((n, 3))
+    yaw_drift = np.cumsum(rng.normal(size=n) * 2e-3)  # unobservable drift
+    for i in range(n):
+        r_gt = np.eye(3)  # identity attitude in _make_gt
+        dth = np.concatenate([rng.normal(size=2) * st_, [yaw_drift[i]]])
+        q = np.asarray(
+            quat_mul(jnp.array([1.0, 0.0, 0.0, 0.0]),
+                     quat_exp(jnp.array(dth, jnp.float32)))
+        )
+        est_pose[i, 3:7] = q[[1, 2, 3, 0]]
+        r_est = np.asarray(quat_to_rot(jnp.array(q)))
+        # robocentric error coordinates: p_w_est = R_est (p_body + dp)
+        p_body = r_gt.T @ gt.pose[i, :3]
+        dp = rng.normal(size=3) * sp
+        est_pose[i, :3] = r_est @ (p_body + dp)
+        v_body = r_gt.T @ gt.vel[i]
+        est_v[i] = v_body + rng.normal(size=3) * sv
+
+    sim = ResultSimulation(
+        gt.times, est_pose, gt, est_v_body=est_v,
+        est_cov_diag=np.einsum("fii->fi", cov_core),
+        est_cov_core=cov_core,
+    )
+    obs = sim.calculate_nees_observable()
+    assert 0.7 < obs["height"].mean < 1.4, obs["height"].mean
+    assert 1.5 < obs["tilt"].mean < 2.6, obs["tilt"].mean
+    assert 2.5 < obs["vel"].mean < 3.6, obs["vel"].mean
