@@ -1155,6 +1155,36 @@ def cmd_convert_euroc(args):
     )
 
 
+def cmd_distort_to_euroc(args):
+    """Rendered .npz sequence -> RAW distorted EuRoC-ASL directory: warps
+    the virtual-camera (f=159.5 pinhole) frames out to the config's real
+    640x480 fisheye camera. Chained with ``convert-euroc`` + ``run-vio``
+    this exercises the FULL real-camera ingestion path (the analog of
+    VioManager.cpp:183-198 feeding HomographyNet.cpp:127) on synthetic
+    imagery: render -> KB-distort -> C++ undistort -> network + EKF."""
+    from cuahn_vio.data.euroc import distort_frames_to_raw, write_euroc_dir
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45()
+    )
+    d = np.load(args.sequence)
+    raw = distort_frames_to_raw(
+        d["frames"],
+        list(opts.cam_intrinsics), list(opts.cam_distortion),
+        opts.cam_is_fisheye, raw_w=opts.cam_width, raw_h=opts.cam_height,
+    )
+    write_euroc_dir(
+        args.out, raw, d["imu_t"], d["imu_w"], d["imu_a"], d["cam_t"]
+    )
+    print(
+        f"wrote EuRoC dir {args.out}: {len(d['cam_t'])} raw "
+        f"{opts.cam_width}x{opts.cam_height} frames"
+    )
+
+
 def cmd_train_uahn(args):
     import jax
     import jax.numpy as jnp
@@ -1460,6 +1490,15 @@ def main(argv=None):
     s.add_argument("--config", default=None)
     s.add_argument("--max-frames", type=int, default=None)
     s.set_defaults(fn=cmd_convert_euroc)
+
+    s = sub.add_parser(
+        "distort-to-euroc",
+        help="rendered .npz -> RAW distorted EuRoC dir (full-chain tests)",
+    )
+    s.add_argument("sequence", help=".npz from make-synthetic")
+    s.add_argument("--out", required=True, help="EuRoC root dir to create")
+    s.add_argument("--config", default=None)
+    s.set_defaults(fn=cmd_distort_to_euroc)
 
     s = sub.add_parser("train-uahn", help="train network weights from scratch")
     s.add_argument("--out", default="uahn_weights.msgpack")

@@ -97,3 +97,80 @@ def save_sequence_npz(path: str, seq: RawSequence) -> None:
         imu_t=seq.imu_t, imu_w=seq.imu_w, imu_a=seq.imu_a,
         cam_t=seq.cam_t, frames=seq.frames,
     )
+
+
+def write_euroc_dir(root, frames, imu_t, imu_w, imu_a, cam_t) -> None:
+    """Write a minimal EuRoC-ASL directory (mav0/imu0 + mav0/cam0): the
+    inverse of ``load_euroc_sequence``, used to synthesize raw-camera
+    datasets for the full ingestion chain (render -> distort -> this ->
+    convert-euroc -> run-vio)."""
+    from PIL import Image
+
+    imu_dir = os.path.join(root, "mav0", "imu0")
+    cam_dir = os.path.join(root, "mav0", "cam0", "data")
+    os.makedirs(imu_dir, exist_ok=True)
+    os.makedirs(cam_dir, exist_ok=True)
+    with open(os.path.join(imu_dir, "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for i in range(len(imu_t)):
+            f.write(
+                f"{int(imu_t[i] * 1e9)},"
+                + ",".join(f"{v:.9f}" for v in [*imu_w[i], *imu_a[i]])
+                + "\n"
+            )
+    with open(os.path.join(root, "mav0", "cam0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for i in range(len(cam_t)):
+            name = f"{int(cam_t[i] * 1e9)}.png"
+            f.write(f"{int(cam_t[i] * 1e9)},{name}\n")
+            Image.fromarray(frames[i]).save(os.path.join(cam_dir, name))
+
+
+def distort_frames_to_raw(
+    frames: np.ndarray,  # (F, H, W) uint8 virtual-camera renders
+    intrinsics,
+    distortion,
+    fisheye: bool,
+    raw_w: int = 640,
+    raw_h: int = 480,
+) -> np.ndarray:
+    """Re-project virtual-camera (f=159.5 pinhole) frames out to a RAW
+    distorted camera: for every raw pixel, undistort to a normalized ray
+    (vision/camera.py Newton inverse) and bilinearly sample the virtual
+    image there — the exact inverse of the ingest remap
+    (CamBase.h:165-186), so interior content round-trips through
+    ``convert-euroc``."""
+    import jax.numpy as jnp
+
+    from cuahn_vio.ops.warp import virtual_cam_k
+    from cuahn_vio.vision.camera import undistort_points
+
+    f, h, w = frames.shape
+    us, vs = np.meshgrid(np.arange(raw_w), np.arange(raw_h))
+    uv = jnp.asarray(np.stack([us.ravel(), vs.ravel()], 1), jnp.float32)
+    norm = np.asarray(
+        undistort_points(uv, jnp.asarray(intrinsics + distortion, jnp.float32), fisheye)
+    )
+    k, _ = virtual_cam_k(h, w)
+    k = np.asarray(k)
+    x = norm[:, 0] * k[0, 0] + k[0, 2]
+    y = norm[:, 1] * k[1, 1] + k[1, 2]
+
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx, fy = x - x0, y - y0
+    out = np.zeros((f, raw_h * raw_w), np.float32)
+    imgs = frames.astype(np.float32)
+
+    def tap(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        vals = imgs[:, np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+        return vals * inside[None]
+
+    out = (
+        tap(y0, x0) * ((1 - fx) * (1 - fy))[None]
+        + tap(y0, x0 + 1) * (fx * (1 - fy))[None]
+        + tap(y0 + 1, x0) * ((1 - fx) * fy)[None]
+        + tap(y0 + 1, x0 + 1) * (fx * fy)[None]
+    )
+    return np.clip(out, 0, 255).astype(np.uint8).reshape(f, raw_h, raw_w)
