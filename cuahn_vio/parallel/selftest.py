@@ -144,7 +144,9 @@ def _pose_graph_checksums(mesh: Mesh) -> dict:
     }
 
 
-def timed_filter_bench(mesh: Mesh, frames: int = 400, steps: int = 16) -> dict:
+def timed_filter_bench(
+    mesh: Mesh, frames: int = 400, steps: int = 16, reps: int = 5
+) -> dict:
     """Throughput benchmark for the scaling-efficiency recipe (BASELINE.md:
     >= 80 % at N >= 2 hosts): filter-sequence batch, one sequence per
     device, timed after a warm-up run. Efficiency at N processes =
@@ -190,12 +192,18 @@ def timed_filter_bench(mesh: Mesh, frames: int = 400, steps: int = 16) -> dict:
     fn = jax.jit(jax.vmap(one))
     out = fn(*args)  # compile + warm-up
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # median of several reps: a single sub-second launch is dominated by
+    # dispatch jitter, which drowned the efficiency signal entirely
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return {
         "bench_seconds": dt,
+        "bench_seconds_all": times,
         "bench_frames": b * frames,
         "bench_frames_per_s": b * frames / dt,
     }
