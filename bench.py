@@ -98,18 +98,15 @@ def main():
     print(f"# single-stream: {ms:.2f} ms/frame = {fps:.1f} fps")
 
     # batched throughput: independent streams vmapped (sequence sharding
-    # story on one chip). The XLA matmul warp batches better than a
-    # vmapped pallas grid, so switch implementations for this mode.
-    from cuahn_vio.ops import warp as warp_mod
-
-    # WARP_IMPL is read at trace time, so it must stay 'mm' until the
-    # batched step has been traced (the first vstep call below)
-    warp_mod.WARP_IMPL = "mm"
-    step_mm = make_vio_step(model, params, fparams, cfg)
+    # story on one chip). The warp lowers onto the natively batched pallas
+    # kernel via its custom_vmap rule (hat weights never leave VMEM — the
+    # round-2 batch-16 cliff was the XLA mm formulation materializing
+    # ~250 MB of hat weights per image in HBM).
+    step_b = make_vio_step(model, params, fparams, cfg)
 
     best_batch_fps, best_batch = 0.0, 0
     for batch in (8, 16, 32, 64):
-        vstep = jax.jit(jax.vmap(step_mm))
+        vstep = jax.jit(jax.vmap(step_b))
         carries = jax.tree.map(lambda x: jnp.stack([x] * batch), carry)
         xs = jax.tree.map(
             lambda x: jnp.stack([x] * batch),
@@ -140,7 +137,6 @@ def main():
             break  # past the knee
     print(f"# best batch: {best_batch}")
     batch_fps = best_batch_fps
-    warp_mod.WARP_IMPL = "auto"
 
     best_fps = max(fps, batch_fps)
     print(

@@ -39,7 +39,7 @@ from cuahn_vio.ops.warp import pixel_grid_uv1
 _TILE_PIX = 2048
 
 
-def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
+def _warp_compute(sv, su, hi, lo):
     """One tile: (T, 1) output pixels against the full (H, W) image.
 
     Precision scheme: a single f32 hat-weight matmul would need the slow
@@ -50,11 +50,12 @@ def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
     hi/lo-split into two bf16 operands (f32 accumulate), so each selected
     row is exact to ~1.5e-5. Four single-pass bf16 matmuls beat one
     6-pass f32 HIGHEST matmul and lose no grid_sample parity.
-    """
-    h, w = hi_ref.shape
 
-    sv = sv_ref[:]  # (T, 1) source row coordinate per pixel
-    su = su_ref[:]  # (T, 1) source col coordinate per pixel
+    Args are ARRAYS (already loaded from refs): sv/su (T, 1) f32 source
+    row/col coords, hi (H, W) bf16, lo (H, W) bf16 or None (exact_u8).
+    Returns (T, 1) f32.
+    """
+    h, w = hi.shape
     p = sv.shape[0]
 
     y0 = jnp.floor(sv)
@@ -64,24 +65,31 @@ def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
     oh0 = (rows == y0).astype(jnp.bfloat16)  # (p, H) exact one-hot
     oh1 = (rows == y0 + 1.0).astype(jnp.bfloat16)
 
-    if lo_ref is None:  # exact_u8 path: hi alone is exact
+    if lo is None:  # exact_u8 path: hi alone is exact
 
         def sel(oh):
-            return jnp.dot(oh, hi_ref[:], preferred_element_type=jnp.float32)
+            return jnp.dot(oh, hi, preferred_element_type=jnp.float32)
 
     else:
 
         def sel(oh):  # image row gather as MXU matmul, f32 accumulate
-            return jnp.dot(
-                oh, hi_ref[:], preferred_element_type=jnp.float32
-            ) + jnp.dot(oh, lo_ref[:], preferred_element_type=jnp.float32)
+            return jnp.dot(oh, hi, preferred_element_type=jnp.float32) + jnp.dot(
+                oh, lo, preferred_element_type=jnp.float32
+            )
 
     m = (1.0 - fy) * sel(oh0) + fy * sel(oh1)  # (p, W) f32
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1).astype(jnp.float32)
     wu = jnp.maximum(0.0, 1.0 - jnp.abs(su - cols))  # (p, W) f32, VPU
 
-    out_ref[:] = jnp.sum(m * wu, axis=-1, keepdims=True)
+    return jnp.sum(m * wu, axis=-1, keepdims=True)
+
+
+def _warp_kernel(sv_ref, su_ref, hi_ref, lo_ref, out_ref):
+    out_ref[:] = _warp_compute(
+        sv_ref[:], su_ref[:], hi_ref[:],
+        None if lo_ref is None else lo_ref[:],
+    )
 
 
 def _sample_flat(
@@ -161,6 +169,99 @@ def bilinear_sample_pallas(
     return _sample_flat(img, su, sv, interpret, exact_u8)
 
 
+def _sample_flat_batched(
+    imgs: jnp.ndarray,  # (B, H, W) f32
+    su: jnp.ndarray,  # (B, P)
+    sv: jnp.ndarray,  # (B, P)
+    interpret: bool,
+    exact_u8: bool,
+) -> jnp.ndarray:
+    """Batched MXU bilinear sampler: grid (B, tiles), image resident in
+    VMEM per batch entry.
+
+    This is THE batched-throughput path (VERDICT r2 #4): the XLA matmul
+    formulation materializes (P, H) + (P, W) hat weights in HBM per image
+    (~250 MB at 224x320 f32), which saturates HBM bandwidth around batch 8
+    and falls off a cliff at 16; here the weights never exist outside VMEM
+    scratch, so HBM traffic is imgs + coords + out (< 1 MB per image) and
+    throughput scales linearly with batch.
+    """
+    b, hgt, wid = imgs.shape
+    p = su.shape[1]
+    tile = min(_TILE_PIX, ((p + 7) // 8) * 8)
+    n_pad = ((p + tile - 1) // tile) * tile
+
+    imgs = imgs.astype(jnp.float32)
+    su = jnp.clip(su, -1e4, 1e4)
+    sv = jnp.clip(sv, -1e4, 1e4)
+    if n_pad != p:
+        pad = ((0, 0), (0, n_pad - p))
+        su = jnp.pad(su, pad, constant_values=-1e4)
+        sv = jnp.pad(sv, pad, constant_values=-1e4)
+    su = su.reshape(b, n_pad, 1)
+    sv = sv.reshape(b, n_pad, 1)
+
+    coord_spec = pl.BlockSpec(
+        (1, tile, 1), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (1, hgt, wid), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    common = dict(
+        grid=(b, n_pad // tile),
+        out_specs=pl.BlockSpec(
+            (1, tile, 1), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+        interpret=interpret,
+    )
+
+    def kern3(sv_r, su_r, hi_r, out_r):
+        out_r[0] = _warp_compute(sv_r[0], su_r[0], hi_r[0], None)
+
+    def kern4(sv_r, su_r, hi_r, lo_r, out_r):
+        out_r[0] = _warp_compute(sv_r[0], su_r[0], hi_r[0], lo_r[0])
+
+    if exact_u8:
+        img255 = (imgs * 255.0).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            kern3, in_specs=[coord_spec, coord_spec, img_spec], **common
+        )(sv, su, img255)
+        out = out * (1.0 / 255.0)
+    else:
+        img_hi = imgs.astype(jnp.bfloat16)
+        img_lo = (imgs - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            kern4,
+            in_specs=[coord_spec, coord_spec, img_spec, img_spec],
+            **common,
+        )(sv, su, img_hi, img_lo)
+    return out[:, :p, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
+def homography_warp_pallas_batch(
+    imgs: jnp.ndarray,  # (B, H, W)
+    h_uv: jnp.ndarray,  # (B, 3, 3)
+    interpret: bool = False,
+    exact_u8: bool = False,
+) -> jnp.ndarray:
+    """Batch of homography warps in one pallas_call (see
+    ``_sample_flat_batched``). Exposed to model code transparently: the
+    single-example ``homography_warp_pallas`` carries a custom_vmap rule
+    that lowers ``jax.vmap`` onto this kernel."""
+    b, hgt, wid = imgs.shape
+    grid_uv1 = pixel_grid_uv1(hgt, wid, dtype=jnp.float32)  # (3, P)
+    uvz = jnp.einsum(
+        "bij,jp->bip", h_uv.astype(jnp.float32), grid_uv1,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    su = uvz[:, 0] / uvz[:, 2]
+    sv = uvz[:, 1] / uvz[:, 2]
+    out = _sample_flat_batched(imgs, su, sv, interpret, exact_u8)
+    return out.reshape(b, hgt, wid)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
 def homography_warp_pallas(
     img: jnp.ndarray,
@@ -193,3 +294,26 @@ def homography_warp_pallas(
     sv = uvz[1] / z
     out = _sample_flat(img, su, sv, interpret, exact_u8)
     return out.reshape(hgt, wid)
+
+
+# ---- transparent batching: jax.vmap of the single-example warp lowers onto
+# the batched kernel above instead of pallas's sequential auto-batching.
+from jax import custom_batching  # noqa: E402
+
+
+@custom_batching.custom_vmap
+def warp_pallas_u8(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
+    """homography_warp_pallas(exact_u8=True) with a custom vmap rule: the
+    production warp entry point (every image in the pipeline is a
+    /255-normalized uint8 frame, HomographyNet.cpp:139-146)."""
+    return homography_warp_pallas(img, h_uv, exact_u8=True)
+
+
+@warp_pallas_u8.def_vmap
+def _warp_pallas_u8_vmap(axis_size, in_batched, img, h_uv):
+    img_b, h_b = in_batched
+    if not img_b:
+        img = jnp.broadcast_to(img, (axis_size,) + img.shape)
+    if not h_b:
+        h_uv = jnp.broadcast_to(h_uv, (axis_size,) + h_uv.shape)
+    return homography_warp_pallas_batch(img, h_uv, exact_u8=True), True

@@ -149,9 +149,12 @@ def homography_warp_auto(img: jnp.ndarray, h_uv: jnp.ndarray) -> jnp.ndarray:
     leave VMEM), the XLA matmul formulation elsewhere. The branch resolves
     at trace time, so each backend jit-caches its own lowering."""
     if WARP_IMPL == "auto" and jax.default_backend() == "tpu":
-        from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas
+        from cuahn_vio.ops.pallas.warp_kernel import warp_pallas_u8
 
         # every image in the pipeline is a /255-normalized uint8 frame
-        # (HomographyNet.cpp:139-146; the trainer quantizes to match)
-        return homography_warp_pallas(img, h_uv, exact_u8=True)
+        # (HomographyNet.cpp:139-146; the trainer quantizes to match).
+        # warp_pallas_u8 carries a custom_vmap rule, so batched callers
+        # (vmapped vio_step / training loss) lower onto the natively
+        # batched kernel instead of pallas's sequential auto-batching.
+        return warp_pallas_u8(img, h_uv)
     return homography_warp_mm(img, h_uv)

@@ -61,3 +61,70 @@ def test_pallas_exact_u8_path(rng):
     ref = homography_warp(img, H_TEST)
     out = homography_warp_pallas(img, H_TEST, interpret=True, exact_u8=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_batched_matches_reference(rng):
+    """The natively batched kernel (grid over batch x tiles) reproduces
+    per-image warps exactly — the batched-throughput path of VERDICT r2 #4."""
+    from cuahn_vio.ops.pallas.warp_kernel import homography_warp_pallas_batch
+
+    b = 3
+    imgs = jnp.array(
+        rng.integers(0, 256, (b, 56, 80)).astype(np.float32) / 255.0
+    )
+    hs = jnp.stack(
+        [
+            H_TEST,
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.array(
+                [[0.97, -0.01, 4.0], [0.02, 1.03, -2.0], [2e-5, 1e-5, 1.0]],
+                jnp.float32,
+            ),
+        ]
+    )
+    ref = jnp.stack([homography_warp(imgs[i], hs[i]) for i in range(b)])
+    out = homography_warp_pallas_batch(imgs, hs, interpret=True, exact_u8=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    out2 = homography_warp_pallas_batch(imgs, hs, interpret=True, exact_u8=False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=5e-5)
+
+
+def test_warp_custom_vmap_rule(rng, monkeypatch):
+    """jax.vmap over the single-example pallas entry point must route
+    through the batched kernel (custom_vmap) and agree with per-image
+    results; also the h-only-batched and img-only-batched cases."""
+    import jax
+
+    from cuahn_vio.ops.pallas import warp_kernel as wk
+
+    calls = {"batched": 0}
+    orig = wk.homography_warp_pallas_batch
+
+    def spy(imgs, hs, **kw):
+        calls["batched"] += 1
+        return orig(imgs, hs, interpret=True, exact_u8=True)
+
+    monkeypatch.setattr(wk, "homography_warp_pallas_batch", spy)
+    # interpret-mode single-example impl for the unbatched fallback
+    monkeypatch.setattr(
+        wk, "homography_warp_pallas",
+        lambda img, h, **kw: homography_warp_pallas(
+            img, h, interpret=True, exact_u8=True
+        ),
+    )
+
+    b = 2
+    imgs = jnp.array(
+        rng.integers(0, 256, (b, 56, 80)).astype(np.float32) / 255.0
+    )
+    hs = jnp.stack([H_TEST, jnp.eye(3, dtype=jnp.float32)])
+
+    out = jax.vmap(wk.warp_pallas_u8)(imgs, hs)
+    assert calls["batched"] == 1
+    ref = jnp.stack([homography_warp(imgs[i], hs[i]) for i in range(b)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    # only H batched: image broadcast inside the rule
+    out_h = jax.vmap(wk.warp_pallas_u8, in_axes=(None, 0))(imgs[0], hs)
+    ref_h = jnp.stack([homography_warp(imgs[0], hs[i]) for i in range(b)])
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), atol=5e-5)
