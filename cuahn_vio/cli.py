@@ -849,11 +849,15 @@ def cmd_close_loops(args):
         model, params, pairs=pairs,
     )
     with open(args.out, "w") as f:
-        f.write("# i j dpx dpy dpz dqw dqx dqy dqz\n")
+        f.write("# i j dpx dpy dpz dqw dqx dqy dqz sigma_p\n")
         for k in range(len(lf.pairs)):
-            row = [*lf.pairs[k], *lf.dp_meas[k], *lf.dq_meas[k]]
+            row = [*lf.pairs[k], *lf.dp_meas[k], *lf.dq_meas[k], lf.sigma_p[k]]
             f.write(" ".join(str(v) for v in row) + "\n")
-    print(f"wrote {len(lf.pairs)} loop factors -> {args.out}")
+    print(
+        f"wrote {len(lf.pairs)} loop factors -> {args.out} "
+        f"({len(pairs) - len(lf.pairs)} of {len(pairs)} candidates gated "
+        "out by network confidence)"
+    )
 
 
 def cmd_smooth_trajectory(args):
@@ -876,11 +880,16 @@ def cmd_smooth_trajectory(args):
     q = jnp.array(traj.poses[:, [6, 3, 4, 5]], jnp.float32)
 
     pairs, edp, edq = None, None, None
+    loop_sigma_dp = args.loop_sigma_dp
     if args.loops_file:
-        rows = np.loadtxt(args.loops_file, comments="#").reshape(-1, 9)
+        rows = np.loadtxt(args.loops_file, comments="#")
+        rows = rows.reshape(-1, rows.shape[-1] if rows.ndim > 1 else 10)
         pairs = [(int(a), int(b)) for a, b in rows[:, :2]]
         edp = jnp.array(rows[:, 2:5], jnp.float32)
         edq = jnp.array(rows[:, 5:9], jnp.float32)
+        if rows.shape[1] >= 10 and loop_sigma_dp is None:
+            # per-factor sigmas from the network covariance (col 10)
+            loop_sigma_dp = jnp.array(rows[:, 9], jnp.float32)
     elif args.loops:
         pairs = [
             tuple(int(x) for x in pair.split(":")) for pair in args.loops.split(",")
@@ -891,7 +900,7 @@ def cmd_smooth_trajectory(args):
     graph = chain_graph_from_trajectory(
         p, q, sigma_dp=args.sigma_dp, sigma_dth=args.sigma_dth,
         extra_pairs=pairs, extra_dp=edp, extra_dq=edq,
-        extra_sigma_dp=args.loop_sigma_dp, extra_sigma_dth=args.loop_sigma_dth,
+        extra_sigma_dp=loop_sigma_dp, extra_sigma_dth=args.loop_sigma_dth,
     )
 
     if args.mesh:

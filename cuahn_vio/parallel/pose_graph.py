@@ -175,17 +175,25 @@ def chain_graph_from_trajectory(
         idx_j = jnp.concatenate([idx_j, ej])
         dp = jnp.concatenate([dp, extra_dp])
         dq = jnp.concatenate([dq, extra_dq])
-        einfo = jnp.diag(
-            jnp.concatenate(
-                [
-                    jnp.full(3, 1.0 / (extra_sigma_dp or sigma_dp)),
-                    jnp.full(3, 1.0 / (extra_sigma_dth or sigma_dth)),
-                ]
+        # extra_sigma_dp: scalar, or (L,) per-factor sigmas (loop factors
+        # carry their own measurement confidence from the network cov)
+        l = len(extra_pairs)
+        sdp = (
+            jnp.full(l, sigma_dp)
+            if extra_sigma_dp is None
+            else jnp.broadcast_to(jnp.asarray(extra_sigma_dp, p.dtype), (l,))
+        )
+        sdth = (
+            jnp.full(l, sigma_dth)
+            if extra_sigma_dth is None
+            else jnp.broadcast_to(jnp.asarray(extra_sigma_dth, p.dtype), (l,))
+        )
+        einfo = jax.vmap(
+            lambda a, b: jnp.diag(
+                jnp.concatenate([jnp.full(3, 1.0 / a), jnp.full(3, 1.0 / b)])
             ).astype(p.dtype)
-        )
-        sqrt_info = jnp.concatenate(
-            [sqrt_info, jnp.tile(einfo[None], (len(extra_pairs), 1, 1))]
-        )
+        )(sdp, sdth)
+        sqrt_info = jnp.concatenate([sqrt_info, einfo])
     return PoseGraph(
         p=p, q=q, idx_i=idx_i, idx_j=idx_j,
         dp_meas=dp, dq_meas=dq, sqrt_info=sqrt_info,

@@ -40,6 +40,8 @@ class LoopFactors(NamedTuple):
     pairs: np.ndarray  # (L, 2) keyframe indices (i, j)
     dp_meas: np.ndarray  # (L, 3) measured p_j - p_i in IMU frame i
     dq_meas: np.ndarray  # (L, 4) relative attitude from the estimates
+    sigma_p: np.ndarray  # (L,) per-factor position sigma (m) from the
+    # network covariance: height * mean corner sigma / focal
 
 
 def find_loop_candidates(
@@ -113,9 +115,20 @@ def generate_loop_factors(
     params: Any,
     pairs: Optional[np.ndarray] = None,
     seed: int = 0,
+    max_sigma_px: float = 4.0,
 ) -> LoopFactors:
     """Run the prior-mode UAHN across each candidate pair and solve the
-    planar PnP for a relative-position factor."""
+    planar PnP for a relative-position factor.
+
+    Long-baseline pairs are far outside the network's frame-to-frame
+    training regime (large viewpoint change, prior off by the accumulated
+    drift), so most candidates yield garbage — measured on the round-3
+    textured replay, ungated factors had MEDIAN 0.8 m error on ~1.2 m
+    baselines and smoothing with them hurt ATE. Factors are therefore
+    (a) gated on the network's own confidence (mean corner sigma <=
+    ``max_sigma_px``) and (b) returned with a per-factor position sigma
+    (height * corner sigma / focal) so the smoother weights survivors by
+    their actual information content."""
     if pairs is None:
         pairs = find_loop_candidates(times, p_world)
     c_rot_i = jnp.asarray(c_rot_i, jnp.float32)
@@ -128,7 +141,7 @@ def generate_loop_factors(
             use_prior=True, rngs={"dropout": key},
         )
 
-    dps, dqs = [], []
+    kept, dps, dqs, sigmas = [], [], [], []
     key = jax.random.PRNGKey(seed)
     for n, (i, j) in enumerate(pairs):
         p_i, q_i = jnp.asarray(p_world[i]), jnp.asarray(q_wxyz[i])
@@ -136,16 +149,25 @@ def generate_loop_factors(
         prior = flow_between(p_i, q_i, p_j, q_j, c_rot_i, i_t_i2c)
         img1 = jnp.asarray(frames[i], jnp.float32) / 255.0
         img2 = jnp.asarray(frames[j], jnp.float32) / 255.0
-        flow8, _cov = infer(img1, img2, prior, jax.random.fold_in(key, n))
+        flow8, cov = infer(img1, img2, prior, jax.random.fold_in(key, n))
+        sigma_px = float(np.sqrt(max(np.trace(np.asarray(cov)) / 8.0, 0.0)))
+        if not np.isfinite(sigma_px) or sigma_px > max_sigma_px:
+            continue
         p_j_meas = position_from_flow(
             flow8.reshape(4, 2), p_i, q_i, q_j, c_rot_i, i_t_i2c
         )
+        # position sigma: bearing noise scaled by scene depth (~height)
+        _, c1 = camera_pose(p_i, q_i, c_rot_i, i_t_i2c)
+        sigma_m = float(abs(c1[2])) * sigma_px / FOCAL
         # factor in the pose-graph convention
         dp, dq = relative_pose(p_i, q_i, p_j_meas, q_j)
+        kept.append((int(i), int(j)))
         dps.append(np.asarray(dp))
         dqs.append(np.asarray(dq))
+        sigmas.append(max(sigma_m, 1e-3))
     return LoopFactors(
-        pairs=np.asarray(pairs),
+        pairs=np.asarray(kept, np.int64).reshape(-1, 2),
         dp_meas=np.asarray(dps, np.float32).reshape(-1, 3),
         dq_meas=np.asarray(dqs, np.float32).reshape(-1, 4),
+        sigma_p=np.asarray(sigmas, np.float32).reshape(-1),
     )

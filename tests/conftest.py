@@ -32,3 +32,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite accumulates hundreds of XLA:CPU executables on a 2-core
+    VM; under that memory pressure the CPU backend segfaults intermittently
+    inside backend_compile (observed twice, both in whatever module compiles
+    late in the run). Standalone modules never crash. Dropping caches
+    between modules keeps the resident set flat."""
+    yield
+    jax.clear_caches()
