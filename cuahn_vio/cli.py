@@ -476,6 +476,7 @@ def cmd_run_vio(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
+    opts = opts.apply_profile(args.profile)
     if args.init_height is not None:
         opts.init_height = args.init_height
     if args.init_imu_thresh is not None:
@@ -973,6 +974,7 @@ def cmd_run_vio_batch(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
+    opts = opts.apply_profile(args.profile)
     if args.init_height is not None:
         opts.init_height = args.init_height
 
@@ -1347,6 +1349,12 @@ def main(argv=None):
     s = sub.add_parser("run-vio", help="run the VIO on a sequence")
     s.add_argument("sequence", help=".npz with imu_t/imu_w/imu_a/cam_t/frames")
     s.add_argument("--config", default=None)
+    s.add_argument("--profile", choices=["launch", "calibrated"],
+                   default="calibrated",
+                   help="named filter-tuning profile (utils/config.py "
+                        "CALIBRATED_PROFILE). 'calibrated' is the "
+                        "replay-calibrated shipped operating point; "
+                        "'launch' is bit-identical uzhfpv.launch parity")
     s.add_argument("--weights", default=None)
     s.add_argument("--out", default="stamped_traj_estimate.txt")
     s.add_argument("--timing-out", default=None)
@@ -1467,6 +1475,8 @@ def main(argv=None):
     s.add_argument("sequences", nargs="+", help=".npz sequence files")
     s.add_argument("--out-dir", default="batch_out")
     s.add_argument("--config", default=None)
+    s.add_argument("--profile", choices=["launch", "calibrated"],
+                   default="calibrated")
     s.add_argument("--weights", default=None)
     s.add_argument("--no-network", action="store_true")
     s.add_argument("--mesh", action="store_true",

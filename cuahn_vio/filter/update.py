@@ -77,6 +77,7 @@ def hnet_update(
     net_mean8: jnp.ndarray,
     net_cov88: jnp.ndarray,
     update_offset: bool,
+    cov_update: bool = True,
 ) -> FilterState:
     """One EKF update (UpdaterHNet::update).
 
@@ -85,6 +86,15 @@ def hnet_update(
         net_cov88: (8, 8) network covariance, pixels².
         update_offset: if False, only the 15 core states receive the
             correction (the offsets are about to be reset anyway).
+        cov_update: if False, only the state MEAN is corrected and the
+            covariance is left as propagated — the proper iterated-EKF
+            intermediate step. The reference applies the full update every
+            IEKF iteration (VioManager.cpp:227-273), which double-counts
+            the evidence because the re-inferred measurement reuses the
+            same conv tower and scene; shrinking P once, on the final
+            iteration, keeps iterations as pure re-linearizations
+            (measured: IEKF=2 hurt ATE with per-iteration shrink and helps
+            with this form — benchmarks/RESULTS.md round 4).
     """
     dtype = state.p.dtype
     inno, s_mat, chi2, meas_finite, _ = innovation_stats(
@@ -94,9 +104,12 @@ def hnet_update(
     k_gain = jnp.linalg.solve(s_mat.T, p_cols.T).T  # (27, 8) = P Hᵀ S⁻¹
     accept = jnp.logical_and(meas_finite, chi2 < params.chi2_gate)
 
-    # P <- (I - K H) P ; K H is K scattered into the measured columns
-    kh = jnp.zeros((27, 27), dtype).at[:, MEAS_IDX].set(k_gain)
-    new_cov = state.cov - kh @ state.cov
+    if cov_update:
+        # P <- (I - K H) P ; K H is K scattered into the measured columns
+        kh = jnp.zeros((27, 27), dtype).at[:, MEAS_IDX].set(k_gain)
+        new_cov = state.cov - kh @ state.cov
+    else:
+        new_cov = state.cov
 
     d = k_gain @ inno  # (27,)
     if not update_offset:

@@ -228,7 +228,7 @@ def run_stepwise(
         )
         prop_j = jax.jit(prop_fn)
         net_j = jax.jit(net_fn) if model is not None else None
-        upd_j = jax.jit(upd_fn, static_argnames=("update_offset",))
+        upd_j = jax.jit(upd_fn, static_argnames=("update_offset", "cov_update"))
         fin_j = jax.jit(finish_fn)
 
         def staged_frame(carry: VioCarry, xs):
@@ -253,9 +253,10 @@ def run_stepwise(
                     flow8, cov88 = net_j(state, img_prev, img_curr, key, it)
                     jax.block_until_ready(flow8)
                     tn1 = time.perf_counter()
+                    last = it == cfg.max_iekf_iterations - 1
                     state, calib = upd_j(
                         state, carry.frame_idx, flow8, cov88,
-                        update_offset=it != cfg.max_iekf_iterations - 1,
+                        update_offset=not last, cov_update=last,
                     )
                     jax.block_until_ready(state.p)
                     tn2 = time.perf_counter()

@@ -116,14 +116,20 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                     use_prior=cfg.use_prior,
                     rngs={"dropout": jax.random.fold_in(key, it)},
                 )
-                update_offset = it != cfg.max_iekf_iterations - 1
+                last = it == cfg.max_iekf_iterations - 1
+                # IEKF: intermediate iterations refine the MEAN only (the
+                # offset prior the next inference sees); the covariance is
+                # shrunk once, on the last iteration (see hnet_update).
+                update_offset, cov_update = not last, last
                 gate = carry.frame_idx > cfg.update_gate_frames
                 net_inno, _, net_chi2, _, cov_meas = innovation_stats(
                     state, fparams, flow8, cov88
                 )
                 state = jax.lax.cond(
                     gate,
-                    lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
+                    lambda s: hnet_update(
+                        s, fparams, flow8, cov88, update_offset, cov_update
+                    ),
                     lambda s: s,
                     state,
                 )
@@ -182,12 +188,17 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
         )
         return flow8, cov88
 
-    def upd_fn(state: FilterState, frame_idx, flow8, cov88, update_offset: bool):
+    def upd_fn(
+        state: FilterState, frame_idx, flow8, cov88,
+        update_offset: bool, cov_update: bool = True,
+    ):
         inno, _, chi2, _, p_meas = innovation_stats(state, fparams, flow8, cov88)
         gate = frame_idx > cfg.update_gate_frames
         state = jax.lax.cond(
             gate,
-            lambda s: hnet_update(s, fparams, flow8, cov88, update_offset),
+            lambda s: hnet_update(
+                s, fparams, flow8, cov88, update_offset, cov_update
+            ),
             lambda s: s,
             state,
         )

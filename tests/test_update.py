@@ -248,3 +248,25 @@ def test_model_variance_finite_on_saturated_logvar_head():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(cov88)).all()
+
+
+def test_iekf_mean_only_update_preserves_covariance(rng):
+    """Intermediate IEKF iterations (cov_update=False) must refine the mean
+    without shrinking P — the covariance is shrunk once, on the final
+    iteration (filter/update.py hnet_update docstring)."""
+    params = make_params(T_ITOC)
+    state = _spd_state(rng)
+    mean8 = propagated_offset8(state) * 159.5 + 2.0
+    cov88 = jnp.eye(8) * 4.0
+    mid = hnet_update(
+        state, params, mean8, cov88, update_offset=True, cov_update=False
+    )
+    # covariance untouched, mean moved toward the measurement
+    assert np.allclose(np.asarray(mid.cov), np.asarray(state.cov))
+    assert not np.allclose(np.asarray(mid.off), np.asarray(state.off))
+    # second (final) iteration from the refined mean: innovation is smaller
+    # and the posterior covariance equals a single full update's (the gain
+    # depends only on P and R, both unchanged by the mean-only step)
+    full = hnet_update(state, params, mean8, cov88, update_offset=False)
+    final = hnet_update(mid, params, mean8, cov88, update_offset=False)
+    assert np.allclose(np.asarray(final.cov), np.asarray(full.cov), atol=1e-8)
