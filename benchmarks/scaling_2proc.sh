@@ -1,14 +1,19 @@
 #!/usr/bin/env bash
-# Scaling-efficiency measurement recipe (BASELINE.md: >= 80 % at N >= 2).
+# Multi-process scaling measurement, stated as COLLECTIVE OVERHEAD
+# (VERDICT r3 #8): fixed work per device, same per-process device count.
 #
-# Runs the timed sequence-sharded filter workload on (a) one process owning
-# the whole mesh and (b) two jax.distributed processes each owning half,
-# and reports eff = throughput_2proc / throughput_1proc. On real N-host
-# hardware, run one invocation per host with the coordinator on host 0 and
-# JAX_PLATFORMS unset (TPU); the ratio is the BASELINE.md number. On this
-# single machine it exercises the full cross-process collective path
-# (Gloo) but shares the same cores, so treat the printed efficiency as a
-# mechanism check, not a hardware measurement.
+#   (a) 1 process owning a 4-device mesh, batch 4  (no cross-process comm)
+#   (b) 2 jax.distributed processes, 4 devices each, global batch 8 —
+#       identical per-device work; every timed rep ends in a replicated
+#       scalar metric whose reduction crosses the process boundary (Gloo),
+#       exactly like sharded-eval metric aggregation.
+#
+# overhead = 1 - perdev_fps(b) / perdev_fps(a). On real N-host TPU
+# hardware this is the DCN/ICI collective cost; BASELINE.md's >=80 %
+# scaling efficiency corresponds to overhead <= 20 %. On this single
+# 2-core CPU host the two processes also contend for cores, so the printed
+# number is an UPPER BOUND on the collective overhead, not a hardware
+# scaling measurement.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS="" PYTHONPATH="$PWD"
@@ -16,11 +21,11 @@ PORT=${PORT:-29531}
 OUT=${1:-/tmp/scaling}
 mkdir -p "$OUT"
 
-echo "== 1 process, 8 devices =="
-XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+echo "== (a) 1 process, 4 devices, batch 4 =="
+XLA_FLAGS=--xla_force_host_platform_device_count=4 \
   python -m cuahn_vio.cli distributed-selftest --bench --out "$OUT/p1.json"
 
-echo "== 2 processes, 4+4 devices =="
+echo "== (b) 2 processes, 4+4 devices, batch 8 =="
 XLA_FLAGS=--xla_force_host_platform_device_count=4 \
   python -m cuahn_vio.cli distributed-selftest --bench \
   --coordinator 127.0.0.1:$PORT --num-processes 2 --process-id 0 \
@@ -37,7 +42,10 @@ import json, sys
 o = sys.argv[1]
 p1 = json.load(open(f"{o}/p1.json"))
 p2 = json.load(open(f"{o}/p2.json"))
-f1, f2 = p1["bench_frames_per_s"], p2["bench_frames_per_s"]
-print(f"1-proc: {f1:.0f} frames/s   2-proc: {f2:.0f} frames/s")
-print(f"same-total-devices efficiency (2 proc vs 1): {100*f2/f1:.1f} %")
+d1 = p1["bench_frames_per_s_per_device"]
+d2 = p2["bench_frames_per_s_per_device"]
+print(f"(a) 1-proc 4-dev : {d1:.0f} frames/s/device")
+print(f"(b) 2-proc 4+4   : {d2:.0f} frames/s/device")
+print(f"cross-process overhead (upper bound, shared-core host): "
+      f"{100*(1-d2/d1):.1f} %")
 EOF

@@ -189,7 +189,17 @@ def timed_filter_bench(
 
     shard = lambda x: _global_put(x, mesh, P("seq", *([None] * (x.ndim - 1))))
     args = jax.tree.map(shard, (states0, z, r, valid, w, a, dts))
-    fn = jax.jit(jax.vmap(one))
+
+    # the per-rep work ends in a REPLICATED scalar metric (the sharded-eval
+    # aggregation pattern): under multi-process meshes this jnp.sum over the
+    # 'seq'-sharded output lowers to a cross-process all-reduce, so the
+    # timed loop actually exercises the collective path it claims to
+    # measure (a pure vmap batch has no communication at all)
+    def workload(*a):
+        final, outs = jax.vmap(one)(*a)
+        return jnp.sum(jnp.abs(outs.p_world))
+
+    fn = jax.jit(workload)
     out = fn(*args)  # compile + warm-up
     jax.block_until_ready(out)
     # median of several reps: a single sub-second launch is dominated by
@@ -206,6 +216,8 @@ def timed_filter_bench(
         "bench_seconds_all": times,
         "bench_frames": b * frames,
         "bench_frames_per_s": b * frames / dt,
+        "bench_frames_per_s_per_device": frames / dt,
+        "bench_metric_checksum": float(out),
     }
 
 
