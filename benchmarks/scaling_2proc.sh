@@ -25,6 +25,10 @@ echo "== (a) 1 process, 4 devices, batch 4 =="
 XLA_FLAGS=--xla_force_host_platform_device_count=4 \
   python -m cuahn_vio.cli distributed-selftest --bench --out "$OUT/p1.json"
 
+echo "== (c) 1 process, 8 devices, batch 8 (contention control) =="
+XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -m cuahn_vio.cli distributed-selftest --bench --out "$OUT/p1x8.json"
+
 echo "== (b) 2 processes, 4+4 devices, batch 8 =="
 XLA_FLAGS=--xla_force_host_platform_device_count=4 \
   python -m cuahn_vio.cli distributed-selftest --bench \
@@ -42,10 +46,15 @@ import json, sys
 o = sys.argv[1]
 p1 = json.load(open(f"{o}/p1.json"))
 p2 = json.load(open(f"{o}/p2.json"))
+p8 = json.load(open(f"{o}/p1x8.json"))
 d1 = p1["bench_frames_per_s_per_device"]
 d2 = p2["bench_frames_per_s_per_device"]
+d8 = p8["bench_frames_per_s_per_device"]
 print(f"(a) 1-proc 4-dev : {d1:.0f} frames/s/device")
 print(f"(b) 2-proc 4+4   : {d2:.0f} frames/s/device")
-print(f"cross-process overhead (upper bound, shared-core host): "
-      f"{100*(1-d2/d1):.1f} %")
+print(f"(c) 1-proc 8-dev : {d8:.0f} frames/s/device")
+print(f"fixed-per-device-work overhead, (a)->(b) (upper bound — the two "
+      f"processes also share this host's cores): {100*(1-d2/d1):.1f} %")
+print(f"process-boundary overhead, (c)->(b) (same total devices and work, "
+      f"only the Gloo boundary differs): {100*(1-d2/d8):.1f} %")
 EOF

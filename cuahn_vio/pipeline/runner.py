@@ -223,13 +223,14 @@ def run_stepwise(
     if staged_timing:
         from cuahn_vio.pipeline.vio import make_vio_stages
 
-        prop_fn, net_fn, upd_fn, finish_fn = make_vio_stages(
+        prop_fn, net_fn, upd_fn, finish_fn, refine_fn = make_vio_stages(
             model, net_params, fparams, cfg
         )
         prop_j = jax.jit(prop_fn)
         net_j = jax.jit(net_fn) if model is not None else None
         upd_j = jax.jit(upd_fn, static_argnames=("update_offset", "cov_update"))
         fin_j = jax.jit(finish_fn)
+        refine_j = jax.jit(refine_fn)
 
         def staged_frame(carry: VioCarry, xs):
             """vio_step re-composed from the stage jits, returning per-stage
@@ -248,17 +249,24 @@ def run_stepwise(
                 jnp.zeros((8, 8), jnp.float32),
             )
             if model is not None:
+                from cuahn_vio.filter.update import propagated_offset8
+
+                prior8 = propagated_offset8(state)
                 for it in range(cfg.max_iekf_iterations):
                     tn0 = time.perf_counter()
-                    flow8, cov88 = net_j(state, img_prev, img_curr, key, it)
+                    flow8, cov88 = net_j(prior8, img_prev, img_curr, key, it)
                     jax.block_until_ready(flow8)
                     tn1 = time.perf_counter()
                     last = it == cfg.max_iekf_iterations - 1
-                    state, calib = upd_j(
-                        state, carry.frame_idx, flow8, cov88,
-                        update_offset=not last, cov_update=last,
-                    )
-                    jax.block_until_ready(state.p)
+                    if last:
+                        state, calib = upd_j(
+                            state, carry.frame_idx, flow8, cov88,
+                            update_offset=False, cov_update=True,
+                        )
+                        jax.block_until_ready(state.p)
+                    else:
+                        prior8 = refine_j(state, flow8, cov88)
+                        jax.block_until_ready(prior8)
                     tn2 = time.perf_counter()
                     net_ms += (tn1 - tn0) * 1e3
                     upd_ms += (tn2 - tn1) * 1e3

@@ -105,9 +105,20 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
             img1 = img_prev_u8.astype(jnp.float32) / 255.0
             img2 = img_curr_u8.astype(jnp.float32) / 255.0
 
-            # 2. IEKF loop, static trip count (VioManager.cpp:227-273)
+            # 2. IEKF loop, static trip count (VioManager.cpp:227-273).
+            # Iterated form: the measurement h is LINEAR (H selects the
+            # offset states), so iteration cannot improve the update
+            # itself — the only nonlinearity is the MEASUREMENT z(prior)
+            # the network produces. Intermediate iterations therefore
+            # refine only the EPHEMERAL prior fed to the next inference
+            # (a mean-only update that is never committed); the single
+            # real EKF update applies the last, best-converged measurement
+            # against the PROPAGATED state. (The reference re-updates
+            # state+cov every iteration, which double-counts correlated
+            # evidence — measured worse here, benchmarks/RESULTS.md r4.)
+            prior8 = propagated_offset8(state)
             for it in range(cfg.max_iekf_iterations):
-                prior_px = (propagated_offset8(state) * FOCAL).reshape(4, 2)
+                prior_px = (prior8 * FOCAL).reshape(4, 2)
                 flow8, cov88 = model.apply(
                     {"params": net_params},
                     img1,
@@ -117,22 +128,25 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                     rngs={"dropout": jax.random.fold_in(key, it)},
                 )
                 last = it == cfg.max_iekf_iterations - 1
-                # IEKF: intermediate iterations refine the MEAN only (the
-                # offset prior the next inference sees); the covariance is
-                # shrunk once, on the last iteration (see hnet_update).
-                update_offset, cov_update = not last, last
                 gate = carry.frame_idx > cfg.update_gate_frames
                 net_inno, _, net_chi2, _, cov_meas = innovation_stats(
                     state, fparams, flow8, cov88
                 )
-                state = jax.lax.cond(
-                    gate,
-                    lambda s: hnet_update(
-                        s, fparams, flow8, cov88, update_offset, cov_update
-                    ),
-                    lambda s: s,
-                    state,
-                )
+                if last:
+                    state = jax.lax.cond(
+                        gate,
+                        lambda s: hnet_update(
+                            s, fparams, flow8, cov88, update_offset=False
+                        ),
+                        lambda s: s,
+                        state,
+                    )
+                else:
+                    refined = hnet_update(
+                        state, fparams, flow8, cov88,
+                        update_offset=True, cov_update=False,
+                    )
+                    prior8 = propagated_offset8(refined)
                 net_mean, net_cov_tr = flow8, jnp.trace(cov88)
                 net_cov88 = cov88.astype(state.p.dtype)
 
@@ -174,10 +188,10 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
     def prop_fn(state: FilterState, w_win, a_win, dt_win) -> FilterState:
         return propagate_window(state, fparams, w_win, a_win, dt_win)
 
-    def net_fn(state: FilterState, img_prev_u8, img_curr_u8, key, it):
+    def net_fn(prior8, img_prev_u8, img_curr_u8, key, it):
         img1 = img_prev_u8.astype(jnp.float32) / 255.0
         img2 = img_curr_u8.astype(jnp.float32) / 255.0
-        prior_px = (propagated_offset8(state) * FOCAL).reshape(4, 2)
+        prior_px = (prior8 * FOCAL).reshape(4, 2)
         flow8, cov88 = model.apply(
             {"params": net_params},
             img1,
@@ -187,6 +201,14 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
             rngs={"dropout": jax.random.fold_in(key, it)},
         )
         return flow8, cov88
+
+    def refine_prior_fn(state: FilterState, flow8, cov88):
+        """Ephemeral mean-only refinement of the offset prior for the next
+        IEKF inference (see make_vio_step's iterated form)."""
+        refined = hnet_update(
+            state, fparams, flow8, cov88, update_offset=True, cov_update=False
+        )
+        return propagated_offset8(refined)
 
     def upd_fn(
         state: FilterState, frame_idx, flow8, cov88,
@@ -223,7 +245,7 @@ def make_vio_stages(model: Any, net_params: Any, fparams: FilterParams, cfg: Vio
         )
         return reset_4pt_offset(state), out
 
-    return prop_fn, net_fn, upd_fn, finish_fn
+    return prop_fn, net_fn, upd_fn, finish_fn, refine_prior_fn
 
 
 def run_sequence(
