@@ -489,6 +489,8 @@ def cmd_run_vio(args):
         opts.chi2_gate = args.chi2_gate
     if args.iekf is not None:
         opts.max_iekf_iterations = args.iekf
+    if args.no_prior:
+        opts.use_prior = False
     if args.q_scale is not None:
         opts.process_noise_scale = args.q_scale
     if args.q_pos_extra is not None:
@@ -847,7 +849,8 @@ def cmd_close_loops(args):
 
     lf = generate_loop_factors(
         seq["frames"][frame_of], times, p_w, q, c_rot_i, i_t_i2c,
-        model, params, pairs=pairs,
+        model, params, pairs=pairs, max_sigma_px=args.max_sigma_px,
+        max_prior_px=args.max_prior_px,
     )
     with open(args.out, "w") as f:
         f.write("# i j dpx dpy dpz dqw dqx dqy dqz sigma_p\n")
@@ -885,12 +888,16 @@ def cmd_smooth_trajectory(args):
     if args.loops_file:
         rows = np.loadtxt(args.loops_file, comments="#")
         rows = rows.reshape(-1, rows.shape[-1] if rows.ndim > 1 else 10)
-        pairs = [(int(a), int(b)) for a, b in rows[:, :2]]
-        edp = jnp.array(rows[:, 2:5], jnp.float32)
-        edq = jnp.array(rows[:, 5:9], jnp.float32)
-        if rows.shape[1] >= 10 and loop_sigma_dp is None:
-            # per-factor sigmas from the network covariance (col 10)
-            loop_sigma_dp = jnp.array(rows[:, 9], jnp.float32)
+        if rows.shape[0] == 0:
+            print("loops file has no factors; chain-only smoothing")
+            pairs = None
+        else:
+            pairs = [(int(a), int(b)) for a, b in rows[:, :2]]
+            edp = jnp.array(rows[:, 2:5], jnp.float32)
+            edq = jnp.array(rows[:, 5:9], jnp.float32)
+            if rows.shape[1] >= 10 and loop_sigma_dp is None:
+                # per-factor sigmas from the network covariance (col 10)
+                loop_sigma_dp = jnp.array(rows[:, 9], jnp.float32)
     elif args.loops:
         pairs = [
             tuple(int(x) for x in pair.split(":")) for pair in args.loops.split(",")
@@ -1378,6 +1385,9 @@ def main(argv=None):
     s.add_argument("--iekf", type=int, default=None,
                    help="IEKF iterations override (max_IEKF_iteration, "
                         "uzhfpv.launch:67)")
+    s.add_argument("--no-prior", action="store_true",
+                   help="run all 4 network blocks instead of the EKF-prior "
+                        "cascade (use_prior=false, uzhfpv.launch:58)")
     s.add_argument("--q-scale", type=float, default=None,
                    help="process-noise variance multiplier override "
                         "(VioOptions.process_noise_scale)")
@@ -1454,6 +1464,14 @@ def main(argv=None):
     s.add_argument("--max-dist", type=float, default=1.0)
     s.add_argument("--stride", type=int, default=5)
     s.add_argument("--max-pairs", type=int, default=32)
+    s.add_argument("--max-sigma-px", type=float, default=4.0,
+                   help="confidence gate: drop factors whose mean network "
+                        "corner sigma exceeds this (survivors carry their "
+                        "own per-factor sigma, so a looser gate only adds "
+                        "weakly-weighted factors)")
+    s.add_argument("--max-prior-px", type=float, default=50.0,
+                   help="geometric gate: skip pairs whose predicted corner "
+                        "flow exceeds the network's training regime")
     s.set_defaults(fn=cmd_close_loops)
 
     s = sub.add_parser("smooth-trajectory", help="pose-graph smoothing of a run")

@@ -116,6 +116,7 @@ def generate_loop_factors(
     pairs: Optional[np.ndarray] = None,
     seed: int = 0,
     max_sigma_px: float = 4.0,
+    max_prior_px: float = 50.0,
 ) -> LoopFactors:
     """Run the prior-mode UAHN across each candidate pair and solve the
     planar PnP for a relative-position factor.
@@ -147,6 +148,15 @@ def generate_loop_factors(
         p_i, q_i = jnp.asarray(p_world[i]), jnp.asarray(q_wxyz[i])
         p_j, q_j = jnp.asarray(p_world[j]), jnp.asarray(q_wxyz[j])
         prior = flow_between(p_i, q_i, p_j, q_j, c_rot_i, i_t_i2c)
+        # geometric viewpoint gate BEFORE inference: candidate pairs whose
+        # predicted corner flow exceeds the network's training flow regime
+        # (trainer masks labels beyond ~80 px) can only produce garbage —
+        # measured sigma 45-340 px on such pairs. Spatial 3D distance alone
+        # is a poor proxy at a 45-degree camera; the prior flow is exact.
+        if not np.isfinite(np.asarray(prior)).all() or float(
+            jnp.abs(prior).max()
+        ) > max_prior_px:
+            continue
         img1 = jnp.asarray(frames[i], jnp.float32) / 255.0
         img2 = jnp.asarray(frames[j], jnp.float32) / 255.0
         flow8, cov = infer(img1, img2, prior, jax.random.fold_in(key, n))
