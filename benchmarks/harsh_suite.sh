@@ -8,7 +8,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 REF=/root/reference/cuahn_ros/ov_data/uzh_fpv
 OUT=${1:-/tmp/harsh_suite}
-WEIGHTS=${2:-weights/uahn_tex_v5.msgpack}
+WEIGHTS=${2:-weights/uahn_tex_v6.msgpack}
 mkdir -p "$OUT"
 
 SEQS="indoor_45_2 indoor_45_4 indoor_45_9 indoor_forward_5"

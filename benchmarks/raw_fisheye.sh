@@ -13,12 +13,14 @@
 # real cross-check, not an identity.
 #
 # Usage: raw_fisheye.sh [out_dir] [weights]
+#
+# run-vio runs the shipped calibrated profile by default (utils/config.py
+# CALIBRATED_PROFILE; --profile launch restores uzhfpv.launch parity).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 GT=/root/reference/cuahn_ros/ov_data/uzh_fpv/indoor_45_2_snapdragon_with_gt.txt
 OUT=${1:-/tmp/raw_fisheye}
-WEIGHTS=${2:-weights/uahn_tex_v5.msgpack}
-TUNE="--k-net-cov 7.9 --chi2-gate 100 --q-scale 30 --q-pos-extra 1e-2"
+WEIGHTS=${2:-weights/uahn_tex_v6.msgpack}
 mkdir -p "$OUT"
 
 python -m cuahn_vio.cli make-synthetic --out "$OUT/virt.npz" --duration 12 \
@@ -39,7 +41,8 @@ python -m cuahn_vio.cli error-singlerun se3 "$OUT/virt_gt.txt" "$OUT/est_dr.txt"
 
 echo "== CUAHN-VIO on the distort->undistort imagery ($WEIGHTS) =="
 python -m cuahn_vio.cli run-vio "$OUT/raw_chain.npz" \
-  --config "$OUT/virt_config.yaml" --weights "$WEIGHTS" $TUNE \
-  --out "$OUT/est.txt"
+  --config "$OUT/virt_config.yaml" --weights "$WEIGHTS" \
+  --out "$OUT/est.txt" --state-out "$OUT/state.npz"
 python -m cuahn_vio.cli error-singlerun se3 "$OUT/virt_gt.txt" "$OUT/est.txt" \
   | grep -E "pos: rmse|matched"
+python -m cuahn_vio.cli error-simulation "$OUT/state.npz" "$OUT/virt_state_gt.txt"
