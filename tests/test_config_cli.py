@@ -230,3 +230,30 @@ def test_plot_trackhist(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_named_profiles():
+    """apply_profile: 'launch' is a no-op copy; 'calibrated' applies
+    CALIBRATED_PROFILE (the shipped benchmark operating point) and leaves
+    everything else at launch parity."""
+    from cuahn_vio.utils.config import CALIBRATED_PROFILE
+
+    base = VioOptions.uzhfpv_indoor45()
+    launch = base.apply_profile("launch")
+    assert launch == base and launch is not base
+    cal = base.apply_profile("calibrated")
+    for k, v in CALIBRATED_PROFILE.items():
+        assert getattr(cal, k) == v
+    assert cal.up_linear_k_hnet_cov == 7.9
+    assert cal.process_noise_scale == 30.0
+    # untouched fields stay launch-parity
+    assert cal.calib_camimu_dt == base.calib_camimu_dt
+    assert cal.max_iekf_iterations == 1
+    with pytest.raises(ValueError):
+        base.apply_profile("nope")
+    # the profile reaches the filter: q_noise scales by 30, extra pos 1e-2
+    fp_l, fp_c = launch.filter_params(), cal.filter_params()
+    ql = np.asarray(fp_l.q_noise); qc = np.asarray(fp_c.q_noise)
+    np.testing.assert_allclose(qc[0, 0], ql[0, 0] * 30.0, rtol=1e-6)
+    np.testing.assert_allclose(qc[12, 12], 1e-2, rtol=1e-6)
+    assert float(fp_c.k_net_cov) == pytest.approx(7.9)
