@@ -15,6 +15,7 @@ plus auxiliary lines prefixed with '#'.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -104,6 +105,12 @@ def main():
     # ~250 MB of hat weights per image in HBM).
     step_b = make_vio_step(model, params, fparams, cfg)
 
+    # --profile <dir>: capture a jax.profiler trace of the x32 batched
+    # step (the roofline evidence for results/round4/roofline.md)
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+
     best_batch_fps, best_batch = 0.0, 0
     for batch in (8, 16, 32, 64):
         vstep = jax.jit(jax.vmap(step_b))
@@ -114,6 +121,11 @@ def main():
         )
         c2, o2 = vstep(carries, xs)
         jax.block_until_ready(o2.p_world)
+        if profile_dir and batch == 32:
+            with jax.profiler.trace(profile_dir):
+                cr, o2 = vstep(carries, xs)
+                jax.block_until_ready(cr.state.p)
+            print(f"# wrote x32 profiler trace -> {profile_dir}")
         t0 = time.perf_counter()
         reps = 20
         cr = carries
