@@ -45,6 +45,25 @@ def test_find_loop_candidates():
         assert np.linalg.norm(p[j] - p[i]) < 0.3
 
 
+def test_find_loop_candidates_picks_nearest_revisit():
+    """The partner for each keyframe must be the NEAREST eligible revisit,
+    not the first one inside the radius: factor quality goes as the
+    revisit baseline (flow ~ baseline/height * focal), and first-hit
+    selection measurably locked onto 0.9 m pairs when 0.1 m pairs existed
+    (round 4, benchmarks/RESULTS.md loop-closure section)."""
+    t = np.arange(0, 12, 0.1)
+    p = np.zeros((len(t), 3))
+    # keyframe 0 at x=0; later the trajectory passes x=0.8 (t=6) then
+    # x=0.05 (t=9): both within a 1.0 m radius, the second far closer
+    p[:, 0] = 2.0
+    p[0] = [0.0, 0, 0]
+    i_far = np.argmin(np.abs(t - 6.0)); p[i_far] = [0.8, 0, 0]
+    i_near = np.argmin(np.abs(t - 9.0)); p[i_near] = [0.05, 0, 0]
+    pairs = find_loop_candidates(t, p, min_dt=3.0, max_dist=1.0, stride=1)
+    partner = {i: j for i, j in pairs}
+    assert partner[0] == i_near
+
+
 def test_loop_factors_reduce_drift(rng):
     """Drifted chain + exact-flow loop factors -> smoother pulls the
     trajectory back toward truth."""
