@@ -18,10 +18,18 @@ against the u-weights on the VPU, and only the (tile,) result ever leaves
 the chip. HBM traffic drops to img + coords + out (< 1 MB), so the op is
 pure MXU compute.
 
-Layout: pixels are flattened to a (P, 1) column (Mosaic cannot reshape
-across lanes inside the kernel, so the pixel axis lives in the sublane
-dimension end-to-end); the hat-weight tensors broadcast against it in the
-lane dimension. Any H*W works (padded up to a tile multiple).
+Layout (two formulations, same math):
+- single-image path (`_sample_flat`): pixels flattened to a (P, 1)
+  column — pixel axis in SUBLANES, hat weights broadcast in lanes.
+- batched path (`_sample_lanes_batched`): pixel axis in LANES end-to-end
+  — coords arrive as (B, 1, P) in XLA's natural lane-major layout, the
+  one-hot row selectors are (H, T) and the vertical interpolation is an
+  lhsᵀ MXU contraction over the sublane axis. The sublane-major batched
+  formulation needed two image-sized relayout copies per call (XLA
+  stores the einsum coords lane-major), which was ~1/3 of the ×32
+  vio_step; switching the batched kernel to lane-major took the bench
+  from 857 to 1840 frames/s/chip (round 4, results/round4/roofline.md).
+Any H*W works (padded up to a tile multiple).
 """
 
 from __future__ import annotations
@@ -169,26 +177,71 @@ def bilinear_sample_pallas(
     return _sample_flat(img, su, sv, interpret, exact_u8)
 
 
-def _sample_flat_batched(
+def _warp_compute_lanes(sv, su, hi, lo):
+    """Transposed tile: pixel axis in LANES end-to-end.
+
+    The sublane-major formulation (`_warp_compute`) needs its (T, 1)
+    coords relayouted from XLA's natural lane-major storage — two
+    image-sized "data formatting" copies per batched call, measured at
+    ~1/3 of the ×32 vio_step (results/round4/roofline.md). Here the tile
+    is (1, T): one-hot row selectors are (H, T), the vertical
+    interpolation contracts the image against them on the MXU with the
+    contraction on the SUBLANE axis of both operands (lhsᵀ matmul), and
+    the horizontal hat reduction runs over sublanes on the VPU. Coords,
+    image and output all keep XLA's natural lane-major layout, so the
+    relayout copies vanish.
+
+    Args: sv/su (1, T) f32, hi/lo (H, W) bf16 (lo None for exact_u8).
+    Off-image and padded-tail pixels get zero hat weight on both axes, so
+    they come out 0 with no explicit mask. Returns (1, T) f32.
+    """
+    h, w = hi.shape
+    t = sv.shape[1]
+
+    y0 = jnp.floor(sv)
+    fy = sv - y0  # (1, T)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0).astype(jnp.float32)
+    oh0 = (rows == y0).astype(jnp.bfloat16)  # (H, T) exact one-hot
+    oh1 = (rows == y0 + 1.0).astype(jnp.bfloat16)
+
+    dn = (((0,), (0,)), ((), ()))  # contract sublane axes: (H,W)x(H,T)->(W,T)
+
+    if lo is None:
+
+        def sel(oh):
+            return jax.lax.dot_general(
+                hi, oh, dn, preferred_element_type=jnp.float32
+            )
+
+    else:
+
+        def sel(oh):
+            return jax.lax.dot_general(
+                hi, oh, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                lo, oh, dn, preferred_element_type=jnp.float32
+            )
+
+    m = (1.0 - fy) * sel(oh0) + fy * sel(oh1)  # (W, T) f32
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0).astype(jnp.float32)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(su - cols))  # (W, T)
+
+    return jnp.sum(m * wu, axis=0, keepdims=True)
+
+
+def _sample_lanes_batched(
     imgs: jnp.ndarray,  # (B, H, W) f32
     su: jnp.ndarray,  # (B, P)
     sv: jnp.ndarray,  # (B, P)
     interpret: bool,
     exact_u8: bool,
 ) -> jnp.ndarray:
-    """Batched MXU bilinear sampler: grid (B, tiles), image resident in
-    VMEM per batch entry.
-
-    This is THE batched-throughput path (VERDICT r2 #4): the XLA matmul
-    formulation materializes (P, H) + (P, W) hat weights in HBM per image
-    (~250 MB at 224x320 f32), which saturates HBM bandwidth around batch 8
-    and falls off a cliff at 16; here the weights never exist outside VMEM
-    scratch, so HBM traffic is imgs + coords + out (< 1 MB per image) and
-    throughput scales linearly with batch.
-    """
+    """Batched lane-major sampler (see `_warp_compute_lanes`)."""
     b, hgt, wid = imgs.shape
     p = su.shape[1]
-    tile = min(_TILE_PIX, ((p + 7) // 8) * 8)
+    tile = min(1024, ((p + 127) // 128) * 128)
     n_pad = ((p + tile - 1) // tile) * tile
 
     imgs = imgs.astype(jnp.float32)
@@ -198,11 +251,11 @@ def _sample_flat_batched(
         pad = ((0, 0), (0, n_pad - p))
         su = jnp.pad(su, pad, constant_values=-1e4)
         sv = jnp.pad(sv, pad, constant_values=-1e4)
-    su = su.reshape(b, n_pad, 1)
-    sv = sv.reshape(b, n_pad, 1)
+    su = su.reshape(b, 1, n_pad)
+    sv = sv.reshape(b, 1, n_pad)
 
     coord_spec = pl.BlockSpec(
-        (1, tile, 1), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+        (1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM
     )
     img_spec = pl.BlockSpec(
         (1, hgt, wid), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
@@ -210,17 +263,17 @@ def _sample_flat_batched(
     common = dict(
         grid=(b, n_pad // tile),
         out_specs=pl.BlockSpec(
-            (1, tile, 1), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+            (1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
         interpret=interpret,
     )
 
     def kern3(sv_r, su_r, hi_r, out_r):
-        out_r[0] = _warp_compute(sv_r[0], su_r[0], hi_r[0], None)
+        out_r[0] = _warp_compute_lanes(sv_r[0], su_r[0], hi_r[0], None)
 
     def kern4(sv_r, su_r, hi_r, lo_r, out_r):
-        out_r[0] = _warp_compute(sv_r[0], su_r[0], hi_r[0], lo_r[0])
+        out_r[0] = _warp_compute_lanes(sv_r[0], su_r[0], hi_r[0], lo_r[0])
 
     if exact_u8:
         img255 = (imgs * 255.0).astype(jnp.bfloat16)
@@ -236,7 +289,7 @@ def _sample_flat_batched(
             in_specs=[coord_spec, coord_spec, img_spec, img_spec],
             **common,
         )(sv, su, img_hi, img_lo)
-    return out[:, :p, 0]
+    return out[:, 0, :p]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "exact_u8"))
@@ -247,7 +300,7 @@ def homography_warp_pallas_batch(
     exact_u8: bool = False,
 ) -> jnp.ndarray:
     """Batch of homography warps in one pallas_call (see
-    ``_sample_flat_batched``). Exposed to model code transparently: the
+    ``_sample_lanes_batched``). Exposed to model code transparently: the
     single-example ``homography_warp_pallas`` carries a custom_vmap rule
     that lowers ``jax.vmap`` onto this kernel."""
     b, hgt, wid = imgs.shape
@@ -258,7 +311,7 @@ def homography_warp_pallas_batch(
     )
     su = uvz[:, 0] / uvz[:, 2]
     sv = uvz[:, 1] / uvz[:, 2]
-    out = _sample_flat_batched(imgs, su, sv, interpret, exact_u8)
+    out = _sample_lanes_batched(imgs, su, sv, interpret, exact_u8)
     return out.reshape(b, hgt, wid)
 
 
