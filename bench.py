@@ -126,13 +126,28 @@ def main():
                 cr, o2 = vstep(carries, xs)
                 jax.block_until_ready(cr.state.p)
             print(f"# wrote x32 profiler trace -> {profile_dir}")
-        t0 = time.perf_counter()
         reps = 20
-        cr = carries
-        for i in range(reps):
-            cr, o2 = vstep(cr, xs)
-        jax.block_until_ready(cr.state.p)
-        batch_fps = batch * reps / (time.perf_counter() - t0)
+        # physical ceiling: the step is ~1 GFLOP/frame; even at full v5e
+        # bf16 peak that bounds throughput well under this. Readings above
+        # it mean the tunneled runtime dropped/elided work mid-measurement
+        # (observed during backend wedges) — remeasure, never record them.
+        FPS_SANE = 50_000.0
+        batch_fps = 0.0
+        for attempt in range(3):
+            t0 = time.perf_counter()
+            cr = carries
+            for i in range(reps):
+                cr, o2 = vstep(cr, xs)
+            jax.block_until_ready(cr.state.p)
+            fps_try = batch * reps / (time.perf_counter() - t0)
+            ck = float(jnp.sum(jnp.abs(cr.state.p)))
+            if fps_try < FPS_SANE and jnp.isfinite(ck):
+                batch_fps = fps_try
+                break
+            print(
+                f"# WARNING: x{batch} measured {fps_try:.0f} fps "
+                f"(checksum {ck}) — implausible, remeasuring"
+            )
         print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
         if batch_fps > best_batch_fps:
             best_batch_fps, best_batch = batch_fps, batch
