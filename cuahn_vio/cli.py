@@ -476,7 +476,14 @@ def cmd_run_vio(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
-    opts = opts.apply_profile(args.profile)
+    # profile resolution: an explicit --profile always applies; otherwise
+    # a bare invocation gets the shipped calibrated operating point, while
+    # a user --config is honored as-is (its fields are not silently
+    # overwritten — ADVICE round 4)
+    if args.profile is not None:
+        opts = opts.apply_profile(args.profile)
+    elif not args.config:
+        opts = opts.apply_profile("calibrated")
     if args.init_height is not None:
         opts.init_height = args.init_height
     if args.init_imu_thresh is not None:
@@ -495,6 +502,12 @@ def cmd_run_vio(args):
         opts.process_noise_scale = args.q_scale
     if args.q_pos_extra is not None:
         opts.extra_position_noise = args.q_pos_extra
+    if args.bias_sigma_px is not None:
+        opts.meas_bias_sigma_px = args.bias_sigma_px
+    if args.bias_tau is not None:
+        opts.meas_bias_tau = args.bias_tau
+    if args.chi2_soft is not None:
+        opts.chi2_soft = args.chi2_soft
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -589,10 +602,14 @@ def cmd_make_synthetic(args):
     from cuahn_vio.eval.simulation import StateGT, save_state_gt
     from cuahn_vio.utils.config import VioOptions
 
+    # the written _config.yaml records the ACTUAL shipped operating point:
+    # a bare invocation bakes the calibrated profile in (run-vio honors the
+    # YAML as-is since round 5 — no silent post-load stomp), while a user
+    # --config passes through untouched
     opts = (
         VioOptions.from_yaml(args.config)
         if args.config
-        else VioOptions.uzhfpv_indoor45()
+        else VioOptions.uzhfpv_indoor45().apply_profile("calibrated")
     )
     if args.traj_file:
         from cuahn_vio.data.bspline import SplineTrajectory
@@ -981,7 +998,12 @@ def cmd_run_vio_batch(args):
         if args.config
         else VioOptions.uzhfpv_indoor45()
     )
-    opts = opts.apply_profile(args.profile)
+    # same profile resolution as run-vio (explicit wins; bare invocation
+    # gets 'calibrated'; a user --config is honored as-is)
+    if args.profile is not None:
+        opts = opts.apply_profile(args.profile)
+    elif not args.config:
+        opts = opts.apply_profile("calibrated")
     if args.init_height is not None:
         opts.init_height = args.init_height
 
@@ -1357,11 +1379,14 @@ def main(argv=None):
     s.add_argument("sequence", help=".npz with imu_t/imu_w/imu_a/cam_t/frames")
     s.add_argument("--config", default=None)
     s.add_argument("--profile", choices=["launch", "calibrated"],
-                   default="calibrated",
+                   default=None,
                    help="named filter-tuning profile (utils/config.py "
                         "CALIBRATED_PROFILE). 'calibrated' is the "
                         "replay-calibrated shipped operating point; "
-                        "'launch' is bit-identical uzhfpv.launch parity")
+                        "'launch' is bit-identical uzhfpv.launch parity. "
+                        "Default: calibrated when no --config is given; a "
+                        "user --config is honored as-is unless a profile "
+                        "is explicitly requested")
     s.add_argument("--weights", default=None)
     s.add_argument("--out", default="stamped_traj_estimate.txt")
     s.add_argument("--timing-out", default=None)
@@ -1394,6 +1419,15 @@ def main(argv=None):
     s.add_argument("--q-pos-extra", type=float, default=None,
                    help="extra position process noise override "
                         "(Propagator.h:97 analog, default 1e-4)")
+    s.add_argument("--bias-sigma-px", type=float, default=None,
+                   help="OU measurement-bias stationary sigma in pixels "
+                        "(0 disables the 8-state augmentation; "
+                        "filter/state.py FilterState)")
+    s.add_argument("--bias-tau", type=float, default=None,
+                   help="OU measurement-bias correlation time, seconds")
+    s.add_argument("--chi2-soft", type=float, default=None,
+                   help="soft innovation threshold for adaptive "
+                        "measurement-cov inflation (0 disables)")
     s.set_defaults(fn=cmd_run_vio)
 
     s = sub.add_parser(
@@ -1494,7 +1528,7 @@ def main(argv=None):
     s.add_argument("--out-dir", default="batch_out")
     s.add_argument("--config", default=None)
     s.add_argument("--profile", choices=["launch", "calibrated"],
-                   default="calibrated")
+                   default=None)
     s.add_argument("--weights", default=None)
     s.add_argument("--no-network", action="store_true")
     s.add_argument("--mesh", action="store_true",

@@ -111,7 +111,22 @@ def propagate_step(
     f, fw = compute_jacobians(state, params, w_m, a_m, dt)
     # ---- covariance (StateHelper.cpp:28-32)
     new_cov = f @ state.cov @ f.T + fw @ params.q_noise @ fw.T
-    return new_mean._replace(cov=new_cov)
+    new_mean = new_mean._replace(cov=new_cov)
+    if state.bias is not None:
+        # OU measurement-bias block (see FilterState): the joint transition
+        # is block-diagonal diag(F, rho*I8), so the partitioned covariance
+        # propagates exactly as C <- rho F C, B <- rho^2 B + (1-rho^2) s^2 I.
+        # dt == 0 gives rho == 1: an exact identity step (padding-safe).
+        dtype = state.p.dtype
+        rho = jnp.exp(-dt / params.bias_tau).astype(dtype)
+        sig2 = jnp.asarray(params.bias_sigma, dtype) ** 2
+        new_mean = new_mean._replace(
+            bias=rho * state.bias,
+            cov_xb=rho * (f @ state.cov_xb),
+            cov_bb=rho**2 * state.cov_bb
+            + (1.0 - rho**2) * sig2 * jnp.eye(8, dtype=dtype),
+        )
+    return new_mean
 
 
 @f32_precision

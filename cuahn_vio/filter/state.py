@@ -17,7 +17,7 @@ Robocentric convention (Propagator.cpp:342-364, RosVisualizer.cpp:171):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -42,7 +42,26 @@ CORE_DIM = 15
 
 
 class FilterState(NamedTuple):
-    """The 27-state filter estimate: a small pytree, trivially checkpointable."""
+    """The 27-state filter estimate: a small pytree, trivially checkpointable.
+
+    Correlated-measurement-error augmentation (round 5; no reference
+    counterpart — the reference assumes white measurement noise,
+    UpdaterHNet.cpp:28-34, and its state covariance has never been
+    NEES-validated): the network's corner-flow error carries a
+    slowly-varying component that a white-noise R cannot express, so the
+    error state is optionally augmented with an 8-D measurement-bias block
+    ``b`` following an Ornstein-Uhlenbeck (AR(1)) law
+
+        b' = exp(-dt/tau) b + w,   stationary var sigma_b^2 I.
+
+    Measurement model becomes  z/159.5 = offset + b + white.  The joint
+    35-state covariance is kept PARTITIONED — ``cov`` stays the exact
+    (27, 27) marginal of the original states (so every downstream consumer
+    of ``cov`` keeps working, incl. the NEES eval), with the cross block
+    ``cov_xb`` and bias block ``cov_bb`` carried alongside. When the three
+    bias fields are None (default) every filter function reduces exactly
+    to the unaugmented reference model.
+    """
 
     p: jnp.ndarray  # (3,)  world-origin -> IMU, in IMU frame
     q: jnp.ndarray  # (4,)  Hamilton wxyz, IMU -> world
@@ -50,7 +69,10 @@ class FilterState(NamedTuple):
     ba: jnp.ndarray  # (3,) accelerometer bias
     bg: jnp.ndarray  # (3,) gyroscope bias
     off: jnp.ndarray  # (4, 3) corner-offset states (z nominally 0)
-    cov: jnp.ndarray  # (27, 27) error-state covariance
+    cov: jnp.ndarray  # (27, 27) error-state covariance (exact marginal)
+    bias: Optional[jnp.ndarray] = None  # (8,) measurement bias, normalized
+    cov_xb: Optional[jnp.ndarray] = None  # (27, 8) state-bias cross-cov
+    cov_bb: Optional[jnp.ndarray] = None  # (8, 8) bias covariance
 
 
 class FilterParams(NamedTuple):
@@ -77,6 +99,20 @@ class FilterParams(NamedTuple):
     # (plain float default: creating a jnp array at class-definition time
     # would initialize the backend on import, breaking platform selection)
     chi2_gate: float = 1000.0
+    # --- correlated-measurement-error model (round 5; see FilterState) ---
+    # OU measurement-bias stationary std-dev, NORMALIZED camera units
+    # (pixels / 159.5); 0 leaves an enabled bias block inert.
+    bias_sigma: float = 0.0
+    # OU correlation time, seconds.
+    bias_tau: float = 1.0
+    # Soft innovation threshold for adaptive measurement-covariance
+    # inflation: when the raw innovation chi2 exceeds this, the NETWORK
+    # covariance part of S is scaled by chi2/chi2_soft before computing
+    # the gain — a covariance-matching robust update that bounds the
+    # state kick a heavy-tailed measurement can deliver (the replay's
+    # innovation chi2 p95 is ~86 vs the 8-DoF ideal 15.5; a third of the
+    # position-error growth comes from chi2>30 frames). inf disables.
+    chi2_soft: float = float("inf")
 
 
 def make_params(
@@ -90,6 +126,9 @@ def make_params(
     chi2_gate: float = 1000.0,
     q_scale: float = 1.0,
     extra_pos_noise: float = 1.0e-4,
+    bias_sigma_px: float = 0.0,
+    bias_tau: float = 1.0,
+    chi2_soft: float = float("inf"),
     dtype=jnp.float32,
 ) -> FilterParams:
     """Build FilterParams from the 4x4 T_ItoC extrinsic and noise densities.
@@ -117,14 +156,37 @@ def make_params(
         q_noise=q,
         k_net_cov=jnp.asarray(k_net_cov, dtype),
         chi2_gate=jnp.asarray(chi2_gate, dtype),
+        bias_sigma=jnp.asarray(bias_sigma_px / FOCAL, dtype),
+        bias_tau=jnp.asarray(bias_tau, dtype),
+        chi2_soft=jnp.asarray(chi2_soft, dtype),
+    )
+
+
+def with_bias_block(state: FilterState, params: FilterParams) -> FilterState:
+    """Attach an inert-at-zero measurement-bias block to a plain state:
+    b = 0, cross-cov 0, bias cov at its stationary value sigma_b^2 I."""
+    dtype = state.p.dtype
+    sig2 = jnp.asarray(params.bias_sigma, dtype) ** 2
+    return state._replace(
+        bias=jnp.zeros(8, dtype),
+        cov_xb=jnp.zeros((27, 8), dtype),
+        cov_bb=jnp.eye(8, dtype=dtype) * sig2,
     )
 
 
 def reset_4pt_offset(state: FilterState) -> FilterState:
     """Zero the corner offsets and every covariance entry outside the
-    top-left 15x15 core block (State.cpp:101-111)."""
+    top-left 15x15 core block (State.cpp:101-111).
+
+    With the bias block: the offset states become exactly zero, so their
+    cross-covariance with the bias is zeroed too; the core-bias cross
+    block, the bias mean and its covariance persist across frames — that
+    persistence is the whole point of the augmentation."""
     new_cov = jnp.zeros_like(state.cov)
     new_cov = new_cov.at[:CORE_DIM, :CORE_DIM].set(
         state.cov[:CORE_DIM, :CORE_DIM]
     )
-    return state._replace(off=jnp.zeros_like(state.off), cov=new_cov)
+    state = state._replace(off=jnp.zeros_like(state.off), cov=new_cov)
+    if state.cov_xb is not None:
+        state = state._replace(cov_xb=state.cov_xb.at[CORE_DIM:, :].set(0.0))
+    return state

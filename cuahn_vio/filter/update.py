@@ -51,9 +51,14 @@ def innovation_stats(
     ov_eval). Non-finite measurements are sanitized so downstream algebra
     stays NaN-free; the returned ``meas_finite`` flags them for rejection.
 
+    With the measurement-bias block (FilterState docstring) the model is
+    z/159.5 = offset + b + white, so the predicted measurement includes b
+    and S gains the bias/cross terms: S = H P Hᵀ + H C + (H C)ᵀ + B + R.
+
     Returns (inno (8,), s_mat (8, 8), chi2 (), meas_finite (),
-    p_meas (8, 8) = H P Hᵀ — recorded separately so the covariance
-    temperature k_net_cov can be refit OFFLINE from a logged run:
+    p_meas (8, 8) — the measurement-PREDICTION covariance (S minus the
+    white-noise part), recorded so the covariance temperature k_net_cov can
+    be refit OFFLINE from a logged run:
     chi2(k) = innoᵀ (p_meas + k Σ_net/159.5²)⁻¹ inno (eval/calibration.py).
     """
     dtype = state.p.dtype
@@ -64,8 +69,13 @@ def innovation_stats(
     net_cov88 = jnp.where(meas_finite, net_cov88, jnp.eye(8, dtype=net_cov88.dtype))
 
     p_meas = state.cov[MEAS_IDX][:, MEAS_IDX]  # H P Hᵀ (8, 8)
+    pred = propagated_offset8(state)
+    if state.bias is not None:
+        hc = state.cov_xb[MEAS_IDX]  # H C (8, 8)
+        p_meas = p_meas + hc + hc.T + state.cov_bb
+        pred = pred + state.bias
     s_mat = p_meas + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
-    inno = net_mean8.astype(dtype) / FOCAL - propagated_offset8(state)
+    inno = net_mean8.astype(dtype) / FOCAL - pred
     chi2 = inno @ jnp.linalg.solve(s_mat, inno)
     return inno, s_mat, chi2, meas_finite, p_meas
 
@@ -100,14 +110,29 @@ def hnet_update(
     inno, s_mat, chi2, meas_finite, _ = innovation_stats(
         state, params, net_mean8, net_cov88
     )
-    p_cols = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
-    k_gain = jnp.linalg.solve(s_mat.T, p_cols.T).T  # (27, 8) = P Hᵀ S⁻¹
     accept = jnp.logical_and(meas_finite, chi2 < params.chi2_gate)
 
+    # Adaptive covariance-matching inflation (FilterParams.chi2_soft): when
+    # the raw innovation is far outside its modeled covariance, assert that
+    # THIS frame's white noise was larger — scale the network-covariance
+    # part of S by chi2/chi2_soft. The gain and the covariance contraction
+    # both use the inflated S, so the update stays self-consistent (it is
+    # exact for the asserted per-frame R). Bounds the state kick a
+    # heavy-tailed measurement can deliver without discarding it.
+    r_net = params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
+    lam = jnp.maximum(1.0, chi2 / params.chi2_soft)
+    s_mat = s_mat + (lam - 1.0) * r_net
+
+    u_x = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
+    if state.bias is not None:
+        u_x = u_x + state.cov_xb  # + C I (joint H = [H, I8])
+        u_b = state.cov_xb[MEAS_IDX].T + state.cov_bb  # Cᵀ Hᵀ + B (8, 8)
+    k_gain = jnp.linalg.solve(s_mat.T, u_x.T).T  # (27, 8) = Ux S⁻¹
+
     if cov_update:
-        # P <- (I - K H) P ; K H is K scattered into the measured columns
-        kh = jnp.zeros((27, 27), dtype).at[:, MEAS_IDX].set(k_gain)
-        new_cov = state.cov - kh @ state.cov
+        # Joint P <- P - U S⁻¹ Uᵀ, blockwise (exact for the partitioned
+        # form; reduces to (I-KH)P when the bias block is absent).
+        new_cov = state.cov - k_gain @ u_x.T
     else:
         new_cov = state.cov
 
@@ -124,10 +149,27 @@ def hnet_update(
         bg=state.bg + d[12:15],
         off=new_off,
         cov=new_cov,
+        bias=state.bias,
+        cov_xb=state.cov_xb,
+        cov_bb=state.cov_bb,
     )
+    if state.bias is not None:
+        # bias mean/cov always take the full joint update (the bias is the
+        # persistent part of the measurement model; update_offset=False
+        # only suppresses the about-to-be-reset offset states)
+        k_b = jnp.linalg.solve(s_mat.T, u_b.T).T  # (8, 8) = Ub S⁻¹
+        updated = updated._replace(bias=state.bias + k_b @ inno)
+        if cov_update:
+            updated = updated._replace(
+                cov_xb=state.cov_xb - k_gain @ u_b.T,
+                cov_bb=state.cov_bb - k_b @ u_b.T,
+            )
     # last-resort guard: even an accepted update must leave the state finite
     upd_finite = jnp.all(jnp.isfinite(updated.cov))
-    for leaf in (updated.p, updated.q, updated.v, updated.ba, updated.bg):
+    leaves = [updated.p, updated.q, updated.v, updated.ba, updated.bg]
+    if updated.bias is not None:
+        leaves += [updated.bias, updated.cov_xb, updated.cov_bb]
+    for leaf in leaves:
         upd_finite = jnp.logical_and(upd_finite, jnp.all(jnp.isfinite(leaf)))
     accept = jnp.logical_and(accept, upd_finite)
     return jax.tree.map(

@@ -135,6 +135,10 @@ def prepare_sequence(
     # window in the past, InertialInitializer.cpp:266-272); it runs once
     # outside the scan, so give it an exact-size window.
     state0 = initial_state(init)
+    if float(fparams.bias_sigma) > 0.0:
+        from cuahn_vio.filter.state import with_bias_block
+
+        state0 = with_bias_block(state0, fparams)
     t0s, w0s, a0s = select_imu_readings(
         imu_t, imu_w, imu_a, init.t0, frame_times_imu[0]
     )
@@ -316,10 +320,11 @@ def run_stepwise(
         if not bool(health(carry.state)):
             n_recoveries += 1
             s = last_good.state
-            carry = VioCarry(
-                state=s._replace(cov=s.cov * 10.0 + jnp.eye(27) * 1e-6),
-                frame_idx=last_good.frame_idx + 1,
-            )
+            s = s._replace(cov=s.cov * 10.0 + jnp.eye(27) * 1e-6)
+            if s.cov_xb is not None:
+                # decorrelating the bias keeps the inflated joint cov PSD
+                s = s._replace(cov_xb=jnp.zeros_like(s.cov_xb))
+            carry = VioCarry(state=s, frame_idx=last_good.frame_idx + 1)
             # emit the ROLLED-BACK state's pose under this frame's
             # timestamp (not a duplicate of the previous row)
             out = _state_output(carry.state, out)

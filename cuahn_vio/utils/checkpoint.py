@@ -29,7 +29,11 @@ def load_params(path: str, template):
 def save_filter_state(path: str, state: FilterState) -> None:
     np.savez(
         path,
-        **{k: np.asarray(v) for k, v in state._asdict().items()},
+        **{
+            k: np.asarray(v)
+            for k, v in state._asdict().items()
+            if v is not None  # optional bias block may be absent
+        },
     )
 
 

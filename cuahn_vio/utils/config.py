@@ -45,6 +45,19 @@ CALIBRATED_PROFILE = dict(
     extra_position_noise=1.0e-2,
 )
 
+# The launch-parity values of every field any profile touches (the
+# dataclass defaults restated), so --profile launch is a real reset even
+# when the loaded YAML carries another operating point.
+LAUNCH_PROFILE = dict(
+    up_linear_k_hnet_cov=10.0,
+    chi2_gate=1000.0,
+    process_noise_scale=1.0,
+    extra_position_noise=1.0e-4,
+    meas_bias_sigma_px=0.0,
+    meas_bias_tau=2.0,
+    chi2_soft=0.0,
+)
+
 # T_C0toI, sensor_config 3: outdoor 45° (uzhfpv.launch:97-102); invert to ItoC
 T_C0TOI_OUTDOOR45 = [
     [-0.02404152, -0.71845273, 0.69516018, 0.02496917],
@@ -87,6 +100,15 @@ class VioOptions:
     # chi-square(8) Mahalanobis catastrophe gate on the innovation (new vs
     # the reference, which has no outlier rejection — filter/update.py)
     chi2_gate: float = 1000.0
+    # --- correlated-measurement-error model (round 5, filter/state.py
+    # FilterState docstring; no reference counterpart — the reference's
+    # white-noise R is exactly what its never-validated covariance assumes).
+    # OU measurement-bias stationary std-dev in PIXELS (0 disables the
+    # 8-state augmentation) and correlation time in seconds:
+    meas_bias_sigma_px: float = 0.0
+    meas_bias_tau: float = 2.0
+    # soft innovation threshold for adaptive R inflation (0 disables):
+    chi2_soft: float = 0.0
 
     # network (uzhfpv.launch:56-59)
     use_network: bool = True
@@ -142,9 +164,9 @@ class VioOptions:
         benchmarks run; CALIBRATED_PROFILE records the exact numbers.
         """
         if name == "launch":
-            return dataclasses.replace(self)
+            return dataclasses.replace(self, **LAUNCH_PROFILE)
         if name == "calibrated":
-            return dataclasses.replace(self, **CALIBRATED_PROFILE)
+            return dataclasses.replace(self, **{**LAUNCH_PROFILE, **CALIBRATED_PROFILE})
         raise ValueError(f"unknown profile {name!r} (launch|calibrated)")
 
     @classmethod
@@ -189,6 +211,9 @@ class VioOptions:
             chi2_gate=self.chi2_gate,
             q_scale=self.process_noise_scale,
             extra_pos_noise=self.extra_position_noise,
+            bias_sigma_px=self.meas_bias_sigma_px,
+            bias_tau=self.meas_bias_tau,
+            chi2_soft=self.chi2_soft if self.chi2_soft > 0 else float("inf"),
         )
 
     def vio_config(self) -> VioConfig:
