@@ -109,7 +109,10 @@ def main():
     # step (the roofline evidence for results/round4/roofline.md)
     profile_dir = None
     if "--profile" in sys.argv:
-        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+        idx = sys.argv.index("--profile") + 1
+        if idx >= len(sys.argv):
+            sys.exit("usage: bench.py [--profile <trace-out-dir>]")
+        profile_dir = sys.argv[idx]
 
     best_batch_fps, best_batch = 0.0, 0
     for batch in (8, 16, 32, 64):
@@ -148,6 +151,15 @@ def main():
                 f"# WARNING: x{batch} measured {fps_try:.0f} fps "
                 f"(checksum {ck}) — implausible, remeasuring"
             )
+        if batch_fps == 0.0:
+            # every remeasure attempt tripped the sanity guard: the backend
+            # is wedged — fail loudly instead of recording a quiet 0
+            # (ADVICE r4), and skip this batch point entirely
+            print(
+                f"# FAILED: x{batch} never produced a sane reading after "
+                "3 attempts — backend wedged; batch point excluded"
+            )
+            continue
         print(f"# batched x{batch}: {batch_fps:.1f} frames/s/chip")
         if batch_fps > best_batch_fps:
             best_batch_fps, best_batch = batch_fps, batch

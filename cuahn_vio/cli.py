@@ -508,6 +508,8 @@ def cmd_run_vio(args):
         opts.meas_bias_tau = args.bias_tau
     if args.chi2_soft is not None:
         opts.chi2_soft = args.chi2_soft
+    if args.echo_beta is not None:
+        opts.echo_beta = args.echo_beta
 
     if args.sequence.endswith(".npz"):
         d = np.load(args.sequence)
@@ -1253,6 +1255,7 @@ def cmd_train_uahn(args):
         TrainConfig(
             batch_size=args.batch_size, lr=args.lr,
             trans_sigma=args.trans_sigma, rot_sigma=args.rot_sigma,
+            prior_noise_lo=args.prior_noise_lo,
             prior_noise_px=args.prior_noise_px,
             height_range=(args.height_min, args.height_max),
             tilt_sigma=args.tilt_sigma,
@@ -1260,6 +1263,9 @@ def cmd_train_uahn(args):
             use_effects=not args.no_effects,
             exposure_frac_max=args.exposure_frac_max,
             max_flow_px=args.max_flow_px,
+            echo_weight=args.echo_weight,
+            big_baseline_prob=args.big_baseline_prob,
+            traj_pair_prob=args.traj_pair_prob,
         ),
         steps=args.steps, seed=args.seed,
         checkpoint_path=args.out, save_every=args.save_every,
@@ -1428,6 +1434,9 @@ def main(argv=None):
     s.add_argument("--chi2-soft", type=float, default=None,
                    help="soft innovation threshold for adaptive "
                         "measurement-cov inflation (0 disables)")
+    s.add_argument("--echo-beta", type=float, default=None,
+                   help="prior-echo fraction of the prior-mode network "
+                        "(FilterParams.echo_beta; 0 = echo-blind)")
     s.set_defaults(fn=cmd_run_vio)
 
     s = sub.add_parser(
@@ -1603,6 +1612,18 @@ def main(argv=None):
                    help="max motion-blur exposure, fraction of frame dt")
     s.add_argument("--max-flow-px", type=float, default=80.0,
                    help="samples with corner flow beyond this are masked")
+    s.add_argument("--prior-noise-lo", type=float, default=1.0,
+                   help="low end of the log-uniform simulated-prior noise "
+                        "sigma range (px)")
+    s.add_argument("--echo-weight", type=float, default=0.0,
+                   help="prior-echo decorrelation penalty weight "
+                        "(TrainConfig.echo_weight; round 5)")
+    s.add_argument("--big-baseline-prob", type=float, default=0.0,
+                   help="fraction of samples with stretched translation "
+                        "(loop-closure 100-250 px flow curriculum)")
+    s.add_argument("--traj-pair-prob", type=float, default=0.7,
+                   help="fraction of samples drawn from the real-flight "
+                        "pose-pair bank (data/trajpairs.py)")
     s.set_defaults(fn=cmd_train_uahn)
 
     args = p.parse_args(argv)

@@ -113,6 +113,18 @@ class FilterParams(NamedTuple):
     # innovation chi2 p95 is ~86 vs the 8-DoF ideal 15.5; a third of the
     # position-error growth comes from chi2>30 frames). inf disables.
     chi2_soft: float = float("inf")
+    # Prior-echo fraction beta of the prior-mode network (round 5,
+    # MEASURED on the replay: regressing the network's corner-flow error
+    # against the fed prior's error gives slope ~+0.5 — the cascade only
+    # corrects about half of the prior error it is given, the rest is
+    # echoed back). Measurement model becomes
+    #     z/159.5 = (1-beta) h(x) + beta h(x_prior) + b + n,
+    # i.e. an effective Jacobian (1-beta) H: the innovation under-reports
+    # the true prior error by (1-beta), so the consistent gain is LARGER
+    # when the prior dominates S and the covariance contracts LESS —
+    # both exactly what the measured NEES optimism calls for. 0 restores
+    # the reference's echo-blind model (UpdaterHNet.cpp:28-34).
+    echo_beta: float = 0.0
 
 
 def make_params(
@@ -129,6 +141,7 @@ def make_params(
     bias_sigma_px: float = 0.0,
     bias_tau: float = 1.0,
     chi2_soft: float = float("inf"),
+    echo_beta: float = 0.0,
     dtype=jnp.float32,
 ) -> FilterParams:
     """Build FilterParams from the 4x4 T_ItoC extrinsic and noise densities.
@@ -159,6 +172,7 @@ def make_params(
         bias_sigma=jnp.asarray(bias_sigma_px / FOCAL, dtype),
         bias_tau=jnp.asarray(bias_tau, dtype),
         chi2_soft=jnp.asarray(chi2_soft, dtype),
+        echo_beta=jnp.asarray(echo_beta, dtype),
     )
 
 

@@ -68,10 +68,13 @@ def innovation_stats(
     net_mean8 = jnp.where(meas_finite, net_mean8, 0.0)
     net_cov88 = jnp.where(meas_finite, net_cov88, jnp.eye(8, dtype=net_cov88.dtype))
 
-    p_meas = state.cov[MEAS_IDX][:, MEAS_IDX]  # H P Hᵀ (8, 8)
+    # effective measurement Jacobian is e*H under the prior-echo model
+    # (FilterParams.echo_beta): y = e H dx + (b - b_hat) + n, e = 1 - beta
+    e = 1.0 - params.echo_beta
+    p_meas = e * e * state.cov[MEAS_IDX][:, MEAS_IDX]  # e²·H P Hᵀ (8, 8)
     pred = propagated_offset8(state)
     if state.bias is not None:
-        hc = state.cov_xb[MEAS_IDX]  # H C (8, 8)
+        hc = e * state.cov_xb[MEAS_IDX]  # e·H C (8, 8)
         p_meas = p_meas + hc + hc.T + state.cov_bb
         pred = pred + state.bias
     s_mat = p_meas + params.k_net_cov * net_cov88.astype(dtype) / FOCAL2
@@ -123,10 +126,11 @@ def hnet_update(
     lam = jnp.maximum(1.0, chi2 / params.chi2_soft)
     s_mat = s_mat + (lam - 1.0) * r_net
 
-    u_x = state.cov[:, MEAS_IDX]  # P Hᵀ (27, 8)
+    e = 1.0 - params.echo_beta  # effective-Jacobian scale (echo model)
+    u_x = e * state.cov[:, MEAS_IDX]  # P (eH)ᵀ (27, 8)
     if state.bias is not None:
-        u_x = u_x + state.cov_xb  # + C I (joint H = [H, I8])
-        u_b = state.cov_xb[MEAS_IDX].T + state.cov_bb  # Cᵀ Hᵀ + B (8, 8)
+        u_x = u_x + state.cov_xb  # + C I (joint H = [eH, I8])
+        u_b = e * state.cov_xb[MEAS_IDX].T + state.cov_bb  # e·CᵀHᵀ + B
     k_gain = jnp.linalg.solve(s_mat.T, u_x.T).T  # (27, 8) = Ux S⁻¹
 
     if cov_update:

@@ -269,7 +269,9 @@ def run_stepwise(
                         )
                         jax.block_until_ready(state.p)
                     else:
-                        prior8 = refine_j(state, flow8, cov88)
+                        # same startup gate as the real update (ADVICE r4)
+                        if int(carry.frame_idx) > cfg.update_gate_frames:
+                            prior8 = refine_j(state, flow8, cov88)
                         jax.block_until_ready(prior8)
                     tn2 = time.perf_counter()
                     net_ms += (tn1 - tn0) * 1e3

@@ -146,7 +146,12 @@ def make_vio_step(model: Any, net_params: Any, fparams: FilterParams, cfg: VioCo
                         state, fparams, flow8, cov88,
                         update_offset=True, cov_update=False,
                     )
-                    prior8 = propagated_offset8(refined)
+                    # the ephemeral refinement honors the same startup gate
+                    # as the real update: gated frames keep the propagated
+                    # prior (ADVICE r4)
+                    prior8 = jnp.where(
+                        gate, propagated_offset8(refined), prior8
+                    )
                 net_mean, net_cov_tr = flow8, jnp.trace(cov88)
                 net_cov88 = cov88.astype(state.p.dtype)
 

@@ -66,6 +66,23 @@ class TrainConfig:
     exposure_frac_max: float = 0.5  # max exposure as fraction of frame dt
     blur_taps: int = 3  # pose taps per motion-blurred render
     max_flow_px: float = 120.0  # samples beyond this are masked from the loss
+    # --- round 5 ---
+    # Prior-echo decorrelation: weight of the batch-level penalty on the
+    # regression slope of (final-flow error) against (fed-prior error) in
+    # prior mode. The replay-measured slope of the v6 weights is ~+0.5 —
+    # the cascade echoes half the prior error back, which makes the
+    # filter's white-noise measurement model false (state NEES ~5x
+    # optimistic) and under-corrects the state. Driving the slope to 0
+    # makes the deployed filter's assumptions true instead of bending the
+    # filter around the network. 0 disables.
+    echo_weight: float = 0.0
+    # Large-baseline curriculum for loop-closure factors: fraction of
+    # samples whose inter-frame translation is scaled up, pushing corner
+    # flows into the 100-250 px revisit regime (VERDICT r4: every headline
+    # loop candidate sat at 108-274 px, outside the <=80 px training
+    # regime, so all factors were confidence-gated).
+    big_baseline_prob: float = 0.0
+    big_baseline_scale: tuple = (2.0, 6.0)
 
 
 class Batch(NamedTuple):
@@ -88,7 +105,7 @@ def sample_pair(
     the deployed system actually sees (real undistorted camera frames,
     VioManager.cpp:183-188). Without them, the round-1 procedural texture.
     """
-    ks = jax.random.split(key, 14)
+    ks = jax.random.split(key, 16)
     p1 = jnp.array([0.0, 0.0, 0.0]).at[2].set(
         jax.random.uniform(
             ks[0], minval=cfg.height_range[0], maxval=cfg.height_range[1]
@@ -127,6 +144,23 @@ def sample_pair(
         from cuahn_vio.ops.quat import quat_conj, quat_log
 
         rv_d = quat_log(quat_mul(quat_conj(q1), q2))
+
+    if cfg.big_baseline_prob > 0.0:
+        # large-baseline curriculum (loop-closure revisit regime): stretch
+        # the translation of a fraction of samples; rotation and rendering
+        # blur follow the stretched motion consistently
+        big = jax.random.bernoulli(ks[14], cfg.big_baseline_prob)
+        stretch = jnp.where(
+            big,
+            jax.random.uniform(
+                ks[15],
+                minval=cfg.big_baseline_scale[0],
+                maxval=cfg.big_baseline_scale[1],
+            ),
+            1.0,
+        )
+        dp = dp * stretch
+        p2 = p1 + dp
 
     if tex_bank is not None:
         from cuahn_vio.data.textures import random_tex_params
@@ -249,13 +283,29 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
         # NLL on the huberized residual so one outlier can't blow var head
         err2 = jnp.square(jnp.clip(err, -3 * cfg.huber_delta, 3 * cfg.huber_delta))
         l_nll = jnp.mean(0.5 * (logvars + err2 / jnp.exp(logvars)))
+
+        # per-sample error vectors for the batch-level echo penalty: the
+        # cascade's final-flow error (gradient into blocks 2-3) and the
+        # composed full-output error (gradient into block 4 through the
+        # member-mean residual; h1 is stop_gradient'ed like inference)
+        err_casc = (
+            flows[-1] - gt_flow if flows.shape[0] else jnp.zeros(8, img1.dtype)
+        )
+        mean_resid = corners + jnp.mean(means, axis=0)  # (4, 2)
+        uv1 = jnp.concatenate(
+            [mean_resid, jnp.ones((4, 1), mean_resid.dtype)], axis=1
+        )
+        m_full = uv1 @ h1.T
+        full_flow = (m_full[:, :2] / m_full[:, 2:3] - corners).reshape(8)
+        err_full = full_flow - gt_flow
+        err_prior = prior.reshape(8) - gt_flow
         return l_cascade + l_mean + cfg.nll_weight * l_nll, (
             l_cascade, l_mean, l_nll,
-        )
+        ), (err_casc, err_full, err_prior)
 
     def loss_fn(params, batch: Batch, key, use_prior: bool):
         keys = jax.random.split(key, batch.img1.shape[0])
-        losses, aux = jax.vmap(
+        losses, aux, echo = jax.vmap(
             lambda i1, i2, g, pr, k: sample_loss(
                 params, i1, i2, g, pr, use_prior, k
             )
@@ -265,7 +315,31 @@ def make_loss_fn(model: UAHN, cfg: TrainConfig):
         w = batch.valid * jnp.isfinite(losses).astype(jnp.float32)
         losses = jnp.where(w > 0, losses, 0.0) * w
         denom = jnp.maximum(jnp.sum(w), 1.0)
-        return jnp.sum(losses) / denom, jax.tree.map(
+        total = jnp.sum(losses) / denom
+
+        if use_prior and cfg.echo_weight > 0.0:
+            # echo-decorrelation: squared batch regression slope of the
+            # output error on the fed-prior error, per component — drives
+            # the deployed prior-echo fraction (FilterParams.echo_beta)
+            # toward 0 so the filter's white-noise model becomes true
+            err_casc, err_full, err_prior = echo
+            wf = (w * jnp.all(jnp.isfinite(err_full), axis=1)
+                    * jnp.all(jnp.isfinite(err_casc), axis=1))[:, None]
+
+            def slope2(e):
+                e = jnp.where(wf > 0, e, 0.0)
+                p = jnp.where(wf > 0, err_prior, 0.0)
+                n = jnp.maximum(jnp.sum(wf), 1.0)
+                e = e - jnp.sum(e, 0) / n
+                p = p - jnp.sum(p, 0) / n
+                cov = jnp.sum(e * p * wf, 0)
+                var = jnp.sum(p * p * wf, 0) + 1e-3
+                return jnp.mean((cov / var) ** 2)
+
+            l_echo = slope2(err_casc) + slope2(err_full)
+            total = total + cfg.echo_weight * l_echo
+
+        return total, jax.tree.map(
             lambda x: jnp.sum(jnp.where(w > 0, x, 0.0) * w) / denom, aux
         )
 

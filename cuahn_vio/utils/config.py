@@ -56,6 +56,7 @@ LAUNCH_PROFILE = dict(
     meas_bias_sigma_px=0.0,
     meas_bias_tau=2.0,
     chi2_soft=0.0,
+    echo_beta=0.0,
 )
 
 # T_C0toI, sensor_config 3: outdoor 45° (uzhfpv.launch:97-102); invert to ItoC
@@ -109,6 +110,10 @@ class VioOptions:
     meas_bias_tau: float = 2.0
     # soft innovation threshold for adaptive R inflation (0 disables):
     chi2_soft: float = 0.0
+    # prior-echo fraction of the prior-mode network (FilterParams.echo_beta;
+    # measured ~0.5 on the replay by regressing corner-flow error against
+    # fed-prior error; 0 = reference's echo-blind model):
+    echo_beta: float = 0.0
 
     # network (uzhfpv.launch:56-59)
     use_network: bool = True
@@ -214,6 +219,7 @@ class VioOptions:
             bias_sigma_px=self.meas_bias_sigma_px,
             bias_tau=self.meas_bias_tau,
             chi2_soft=self.chi2_soft if self.chi2_soft > 0 else float("inf"),
+            echo_beta=self.echo_beta,
         )
 
     def vio_config(self) -> VioConfig:
