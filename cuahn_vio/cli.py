@@ -1274,6 +1274,37 @@ def cmd_train_uahn(args):
     print(f"wrote weights -> {args.out}")
 
 
+def cmd_train_fil(args):
+    import jax
+    import jax.numpy as jnp
+
+    from cuahn_vio.models.uahn import init_uahn
+    from cuahn_vio.train.fil import FilConfig, fil_finetune
+    from cuahn_vio.utils.checkpoint import load_params, save_params
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45().apply_profile("calibrated")
+    )
+    model, params = init_uahn(jax.random.PRNGKey(args.seed))
+    params = load_params(args.resume, params)
+    print(f"resumed from {args.resume}")
+    t = np.asarray(opts.t_imu_to_cam)
+    c_rot_i = jnp.array(t[:3, :3], jnp.float32)
+    i_t_i2c = jnp.array(-t[:3, :3].T @ t[:3, 3], jnp.float32)
+    params = fil_finetune(
+        model, params, opts.filter_params(), c_rot_i, i_t_i2c,
+        FilConfig(window=args.window, batch_size=args.batch_size),
+        steps=args.steps, lr=args.lr, seed=args.seed,
+        checkpoint_path=args.out, save_every=args.save_every,
+        pair_step_every=args.pair_step_every,
+    )
+    save_params(args.out, params)
+    print(f"wrote weights -> {args.out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cuahn-vio", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1625,6 +1656,27 @@ def main(argv=None):
                    help="fraction of samples drawn from the real-flight "
                         "pose-pair bank (data/trajpairs.py)")
     s.set_defaults(fn=cmd_train_uahn)
+
+    s = sub.add_parser(
+        "train-fil",
+        help="filter-in-the-loop fine-tune: optimize weights through the "
+             "deployed EKF scan on real-trajectory windows (train/fil.py)",
+    )
+    s.add_argument("--resume", required=True,
+                   help="weights checkpoint to fine-tune")
+    s.add_argument("--out", default="uahn_fil.msgpack")
+    s.add_argument("--steps", type=int, default=2000)
+    s.add_argument("--window", type=int, default=6)
+    s.add_argument("--batch-size", type=int, default=4)
+    s.add_argument("--lr", type=float, default=2e-5)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--save-every", type=int, default=200)
+    s.add_argument("--pair-step-every", type=int, default=2,
+                   help="interleave a standard single-pair training step "
+                        "every N steps (NLL anchor for the cov head); "
+                        "0 disables")
+    s.add_argument("--config", default=None)
+    s.set_defaults(fn=cmd_train_fil)
 
     args = p.parse_args(argv)
     return args.fn(args)
