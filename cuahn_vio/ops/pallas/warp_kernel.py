@@ -46,6 +46,11 @@ from cuahn_vio.ops.warp import pixel_grid_uv1
 # output pixels per grid step
 _TILE_PIX = 2048
 
+# batched-sampler selection: "rowskip" (round 5, per-tile row-block
+# skipping — see _sample_lanes_rowskip) or "full" (round 4 full-height
+# contraction). Module-level so the bench can A/B without replumbing.
+BATCH_SAMPLER = "rowskip"
+
 
 def _warp_compute(sv, su, hi, lo):
     """One tile: (T, 1) output pixels against the full (H, W) image.
@@ -231,6 +236,181 @@ def _warp_compute_lanes(sv, su, hi, lo):
     return jnp.sum(m * wu, axis=0, keepdims=True)
 
 
+def _warp_block_partial(sv, su, hi_blk, lo_blk, row0):
+    """Partial lane-major vertical interpolation against ONE row block.
+
+    Every bilinear tap row y0 (and y0+1) lives in exactly one 128-row
+    block, so summing the per-block partials reproduces the full-height
+    intermediate BIT-EXACTLY (the other blocks' one-hots match nothing
+    and contribute exact zeros); the horizontal hat reduce runs once on
+    the accumulated intermediate so the reduction order is identical too.
+
+    Args: sv (1, T) f32; hi_blk/lo_blk (R, W) bf16 (lo None for
+    exact_u8); row0 scalar first global row of the block.
+    Returns the partial vertical interpolation m (W, T) f32.
+    """
+    r = hi_blk.shape[0]
+    t = sv.shape[1]
+    y0 = jnp.floor(sv)
+    fy = sv - y0
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, t), 0).astype(
+        jnp.float32
+    ) + row0.astype(jnp.float32)
+    oh0 = (rows == y0).astype(jnp.bfloat16)  # (R, T) exact one-hot
+    oh1 = (rows == y0 + 1.0).astype(jnp.bfloat16)
+
+    dn = (((0,), (0,)), ((), ()))  # contract sublanes: (R,W)x(R,T)->(W,T)
+
+    if lo_blk is None:
+
+        def sel(oh):
+            return jax.lax.dot_general(
+                hi_blk, oh, dn, preferred_element_type=jnp.float32
+            )
+
+    else:
+
+        def sel(oh):
+            return jax.lax.dot_general(
+                hi_blk, oh, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                lo_blk, oh, dn, preferred_element_type=jnp.float32
+            )
+
+    return (1.0 - fy) * sel(oh0) + fy * sel(oh1)  # (W, T) f32
+
+
+def _sample_lanes_rowskip(
+    imgs: jnp.ndarray,  # (B, H, W) f32
+    su: jnp.ndarray,  # (B, P)
+    sv: jnp.ndarray,  # (B, P)
+    interpret: bool,
+    exact_u8: bool,
+    row_block: int = 128,
+) -> jnp.ndarray:
+    """Lane-major batched sampler with per-tile ROW-BLOCK SKIPPING.
+
+    The full-height kernel (`_sample_lanes_batched`) pays an MXU
+    contraction over all H=224 image rows for every output tile, although
+    a tile of 1024 consecutive output pixels (~3.2 rows) touches only a
+    narrow band of source rows for all but extreme-roll homographies
+    (replay p90 inter-frame roll 3.5 deg -> spans of a few rows; >11 deg
+    on 2.4% of frames). Here the image is padded to a multiple of 128
+    rows and the contraction is split into 128-row blocks; per (batch,
+    tile) the host precomputes the touched row range [rmin, rmax]
+    (scalar-prefetched) and the kernel executes only intersecting blocks
+    under ``pl.when`` — typically 1 of 2, i.e. ~0.57x the MXU work, with
+    the rare straddling/extreme tile paying for exactly the blocks it
+    needs. Bit-exact vs the full-height kernel (each tap row lives in
+    exactly one block)."""
+    b, hgt, wid = imgs.shape
+    p = su.shape[1]
+    tile = min(1024, ((p + 127) // 128) * 128)
+    n_pad = ((p + tile - 1) // tile) * tile
+    n_tiles = n_pad // tile
+    h_pad = ((hgt + row_block - 1) // row_block) * row_block
+    n_blocks = h_pad // row_block
+
+    imgs = imgs.astype(jnp.float32)
+    if h_pad != hgt:
+        imgs = jnp.pad(imgs, ((0, 0), (0, h_pad - hgt), (0, 0)))
+    su = jnp.clip(su, -1e4, 1e4)
+    sv = jnp.clip(sv, -1e4, 1e4)
+    if n_pad != p:
+        pad = ((0, 0), (0, n_pad - p))
+        su = jnp.pad(su, pad, constant_values=-1e4)
+        sv = jnp.pad(sv, pad, constant_values=-1e4)
+
+    # per-tile touched row range over VALID taps (vertical hat weight
+    # nonzero only for sv in (-1, hgt)); invalid-only tiles get an empty
+    # range so every block is skipped and the tile stays 0
+    y0 = jnp.floor(sv)
+    valid = (sv > -1.0) & (sv < hgt)
+    y0t = y0.reshape(b, n_tiles, tile)
+    vt = valid.reshape(b, n_tiles, tile)
+    big = jnp.float32(1e9)
+    rmin = jnp.min(jnp.where(vt, y0t, big), axis=2).astype(jnp.int32)
+    rmax = jnp.max(jnp.where(vt, y0t + 1.0, -big), axis=2).astype(jnp.int32)
+
+    su = su.reshape(b, 1, n_pad)
+    sv = sv.reshape(b, 1, n_pad)
+
+    coord_spec = pl.BlockSpec(
+        (1, 1, tile), lambda bi, i, rmn, rmx: (bi, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    img_spec = pl.BlockSpec(
+        (1, h_pad, wid), lambda bi, i, rmn, rmx: (bi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, tile), lambda bi, i, rmn, rmx: (bi, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+
+    def make_kern(n_imgs):
+        def kern(rmn_ref, rmx_ref, sv_r, su_r, *img_out_scratch):
+            img_refs = img_out_scratch[:n_imgs]
+            out_r = img_out_scratch[n_imgs]
+            m_acc = img_out_scratch[n_imgs + 1]  # (W, T) f32 VMEM scratch
+            bi = pl.program_id(0)
+            ti = pl.program_id(1)
+            svv, suu = sv_r[0], su_r[0]
+            t = suu.shape[1]
+            m_acc[:] = jnp.zeros((wid, t), jnp.float32)
+            for blk in range(n_blocks):
+                lo_r = blk * row_block
+                active = jnp.logical_and(
+                    rmn_ref[bi, ti] <= lo_r + row_block - 1,
+                    rmx_ref[bi, ti] >= lo_r,
+                )
+
+                @pl.when(active)
+                def _(blk=blk, lo_r=lo_r):
+                    hi_blk = img_refs[0][0][lo_r : lo_r + row_block, :]
+                    lo_blk = (
+                        img_refs[1][0][lo_r : lo_r + row_block, :]
+                        if n_imgs == 2
+                        else None
+                    )
+                    m_acc[:] += _warp_block_partial(
+                        svv, suu, hi_blk, lo_blk, jnp.int32(lo_r)
+                    )
+
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (wid, t), 0
+            ).astype(jnp.float32)
+            wu = jnp.maximum(0.0, 1.0 - jnp.abs(suu - cols))  # (W, T)
+            out_r[0] = jnp.sum(m_acc[:] * wu, axis=0, keepdims=True)
+
+        return kern
+
+    def call(kern, n_imgs, *img_ops):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_tiles),
+            in_specs=[coord_spec, coord_spec] + [img_spec] * n_imgs,
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((wid, tile), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            interpret=interpret,
+        )(rmin, rmax, sv, su, *img_ops)
+
+    if exact_u8:
+        img255 = (imgs * 255.0).astype(jnp.bfloat16)
+        out = call(make_kern(1), 1, img255) * (1.0 / 255.0)
+    else:
+        img_hi = imgs.astype(jnp.bfloat16)
+        img_lo = (imgs - img_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = call(make_kern(2), 2, img_hi, img_lo)
+    return out[:, 0, :p]
+
+
 def _sample_lanes_batched(
     imgs: jnp.ndarray,  # (B, H, W) f32
     su: jnp.ndarray,  # (B, P)
@@ -238,7 +418,9 @@ def _sample_lanes_batched(
     interpret: bool,
     exact_u8: bool,
 ) -> jnp.ndarray:
-    """Batched lane-major sampler (see `_warp_compute_lanes`)."""
+    """Batched lane-major sampler, full-height contraction (round 4; see
+    `_warp_compute_lanes`). Kept as the reference formulation the row-skip
+    kernel is parity-tested against."""
     b, hgt, wid = imgs.shape
     p = su.shape[1]
     tile = min(1024, ((p + 127) // 128) * 128)
@@ -311,7 +493,12 @@ def homography_warp_pallas_batch(
     )
     su = uvz[:, 0] / uvz[:, 2]
     sv = uvz[:, 1] / uvz[:, 2]
-    out = _sample_lanes_batched(imgs, su, sv, interpret, exact_u8)
+    sampler = (
+        _sample_lanes_rowskip
+        if BATCH_SAMPLER == "rowskip"
+        else _sample_lanes_batched
+    )
+    out = sampler(imgs, su, sv, interpret, exact_u8)
     return out.reshape(b, hgt, wid)
 
 

@@ -128,3 +128,40 @@ def test_warp_custom_vmap_rule(rng, monkeypatch):
     out_h = jax.vmap(wk.warp_pallas_u8, in_axes=(None, 0))(imgs[0], hs)
     ref_h = jnp.stack([homography_warp(imgs[0], hs[i]) for i in range(b)])
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), atol=5e-5)
+
+
+def test_rowskip_matches_full_including_extreme_roll(rng):
+    """The round-5 row-block-skipping sampler must be BIT-EXACT against
+    the round-4 full-height kernel up to FMA fusion (the full kernel's
+    (1-fy)*v0 + fy*v1 may compile to an fma; the per-block form rounds
+    each product -> <=1 ulp), including homographies whose per-tile row
+    span exceeds one 128-row block (90-deg roll: every output row sweeps
+    a full image column) and fully off-image warps."""
+    from cuahn_vio.ops.pallas import warp_kernel as wk
+
+    b = 4
+    imgs = jnp.array(
+        rng.integers(0, 256, (b, 224, 320)).astype(np.float32) / 255.0
+    )
+    c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+    roll90 = jnp.array(
+        [[c, -s, 160.0 + s * 111.5 - c * 159.5],
+         [s, c, 111.5 - s * 159.5 - c * 111.5],
+         [0.0, 0.0, 1.0]], jnp.float32,
+    )
+    hs = jnp.stack([
+        H_TEST,
+        roll90,
+        jnp.array([[1.0, 0.0, 5000.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                  jnp.float32),  # fully off-image
+        jnp.eye(3, dtype=jnp.float32),
+    ])
+    for exact in (True, False):
+        full = wk._sample_lanes_batched
+        skip = wk._sample_lanes_rowskip
+        grid = wk.pixel_grid_uv1(224, 320)
+        uvz = jnp.einsum("bij,jp->bip", hs, grid)
+        su, sv = uvz[:, 0] / uvz[:, 2], uvz[:, 1] / uvz[:, 2]
+        a = full(imgs, su, sv, True, exact)
+        bb = skip(imgs, su, sv, True, exact)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
