@@ -1274,6 +1274,69 @@ def cmd_train_uahn(args):
     print(f"wrote weights -> {args.out}")
 
 
+def cmd_tune_filter(args):
+    """Vmapped filter-parameter grid sweep over a logged measurement
+    stream (eval/tuning.py): hundreds of full-sequence filter replays in
+    one device launch. First-order (the prior feeds back into the
+    network), so confirm winners with a real run-vio re-run."""
+    import itertools
+    import json as _json
+
+    from cuahn_vio.eval.simulation import load_state_gt
+    from cuahn_vio.eval.traj_io import load_pose_file
+    from cuahn_vio.eval.tuning import (
+        SweepConfig, replay_measurements, score_sweep,
+    )
+    from cuahn_vio.utils.config import VioOptions
+
+    opts = (
+        VioOptions.from_yaml(args.config)
+        if args.config
+        else VioOptions.uzhfpv_indoor45().apply_profile("calibrated")
+    )
+    d = np.load(args.sequence)
+    log = np.load(args.state_log)
+
+    def axis(spec, default):
+        return [float(x) for x in spec.split(",")] if spec else [default]
+
+    grid = [
+        SweepConfig(
+            k_net_cov=k, chi2_gate=g, q_scale=q, q_pos_extra=qp,
+            bias_sigma_px=bs, bias_tau=bt,
+            chi2_soft=(cs if cs > 0 else float("inf")), echo_beta=eb,
+        )
+        for k, g, q, qp, bs, bt, cs, eb in itertools.product(
+            axis(args.k_net_cov, opts.up_linear_k_hnet_cov),
+            axis(args.chi2_gate, opts.chi2_gate),
+            axis(args.q_scale, opts.process_noise_scale),
+            axis(args.q_pos_extra, opts.extra_position_noise),
+            axis(args.bias_sigma_px, opts.meas_bias_sigma_px),
+            axis(args.bias_tau, opts.meas_bias_tau),
+            axis(args.chi2_soft, opts.chi2_soft),
+            axis(args.echo_beta, opts.echo_beta),
+        )
+    ]
+    print(f"sweeping {len(grid)} grid points...")
+    base = opts.filter_params()
+    outs, times = replay_measurements(
+        d["imu_t"], d["imu_w"], d["imu_a"], d["cam_t"],
+        log["net_mean"], log["net_cov88"], base, grid,
+        opts.runner_options(), opts.vio_config(),
+    )
+    gt = load_pose_file(args.gt)
+    state_gt = load_state_gt(args.state_gt) if args.state_gt else None
+    rows = score_sweep(outs, times, gt.times, gt.poses, state_gt, grid)
+    rows.sort(key=lambda r: r.get("ate_pos", float("inf")))
+    for r in rows[: args.top]:
+        print(_json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        print(f"wrote {len(rows)} rows -> {args.out}")
+
+
 def cmd_train_fil(args):
     import jax
     import jax.numpy as jnp
@@ -1656,6 +1719,29 @@ def main(argv=None):
                    help="fraction of samples drawn from the real-flight "
                         "pose-pair bank (data/trajpairs.py)")
     s.set_defaults(fn=cmd_train_uahn)
+
+    s = sub.add_parser(
+        "tune-filter",
+        help="vmapped filter-parameter grid sweep over a logged "
+             "measurement stream (eval/tuning.py)",
+    )
+    s.add_argument("sequence", help=".npz sequence the log came from")
+    s.add_argument("state_log", help="run-vio --state-out npz")
+    s.add_argument("gt", help="ground-truth pose txt")
+    s.add_argument("--state-gt", default=None, help="17-col sim state GT")
+    s.add_argument("--config", default=None)
+    s.add_argument("--k-net-cov", default=None,
+                   help="comma list, e.g. 4,7.9,12")
+    s.add_argument("--chi2-gate", default=None)
+    s.add_argument("--q-scale", default=None)
+    s.add_argument("--q-pos-extra", default=None)
+    s.add_argument("--bias-sigma-px", default=None)
+    s.add_argument("--bias-tau", default=None)
+    s.add_argument("--chi2-soft", default=None)
+    s.add_argument("--echo-beta", default=None)
+    s.add_argument("--top", type=int, default=10)
+    s.add_argument("--out", default=None, help="write all rows (jsonl)")
+    s.set_defaults(fn=cmd_tune_filter)
 
     s = sub.add_parser(
         "train-fil",

@@ -40,6 +40,12 @@ class SweepConfig:
     chi2_gate: float = 1000.0
     q_scale: float = 1.0  # multiplies the whole 15x15 process noise Q
     q_pos_extra: float = 1.0e-4  # the Propagator.h:97 extra position noise
+    # round-5 correlated-error knobs (filter/state.py): OU measurement
+    # bias (px / seconds), adaptive-R soft threshold, prior-echo fraction
+    bias_sigma_px: float = 0.0
+    bias_tau: float = 2.0
+    chi2_soft: float = float("inf")
+    echo_beta: float = 0.0
 
 
 def _stack_params(base: FilterParams, grid: list[SweepConfig]) -> FilterParams:
@@ -54,6 +60,10 @@ def _stack_params(base: FilterParams, grid: list[SweepConfig]) -> FilterParams:
             q_noise=q,
             k_net_cov=jnp.asarray(cfg.k_net_cov, base.k_net_cov.dtype),
             chi2_gate=jnp.asarray(cfg.chi2_gate, jnp.float32),
+            bias_sigma=jnp.asarray(cfg.bias_sigma_px / 159.5, jnp.float32),
+            bias_tau=jnp.asarray(cfg.bias_tau, jnp.float32),
+            chi2_soft=jnp.asarray(cfg.chi2_soft, jnp.float32),
+            echo_beta=jnp.asarray(cfg.echo_beta, jnp.float32),
         )
 
     return jax.tree.map(lambda *xs: jnp.stack(xs), *[one(c) for c in grid])
@@ -117,10 +127,16 @@ def replay_measurements(
     dt_win = jnp.asarray(win.dt)
 
     def run_one(fparams: FilterParams):
+        # always attach the bias block so the vmapped pytree structure is
+        # uniform across grid points; with sigma_b = 0 it is an exact
+        # no-op (tests/test_meas_bias.py::test_zero_sigma_bias_block_is_inert)
+        from cuahn_vio.filter.state import with_bias_block
+
+        s0 = with_bias_block(state0, fparams)
         s0 = (
-            propagate_window(state0, fparams, w0, a0, dt0)
+            propagate_window(s0, fparams, w0, a0, dt0)
             if have_w0
-            else state0
+            else s0
         )
         _, outs = run_sequence_with_measurements(
             s0, fparams, vio_cfg, z_mean, z_cov, z_valid, w_win, a_win, dt_win
