@@ -46,10 +46,16 @@ from cuahn_vio.ops.warp import pixel_grid_uv1
 # output pixels per grid step
 _TILE_PIX = 2048
 
-# batched-sampler selection: "rowskip" (round 5, per-tile row-block
-# skipping — see _sample_lanes_rowskip) or "full" (round 4 full-height
-# contraction). Module-level so the bench can A/B without replumbing.
-BATCH_SAMPLER = "rowskip"
+# batched-sampler selection: "full" (round 4 full-height contraction) or
+# "rowskip" (round 5, per-tile row-block skipping — _sample_lanes_rowskip).
+# Round-5 A/B on the v5e (chained 64-image warp microbench): full 10.6 ms,
+# rowskip 10.8 ms — HALVING the MXU contraction work changes nothing, so
+# the kernel is VPU-bound (dense hat-weight build + multiply-reduce, which
+# this formulation cannot avoid), i.e. at its formulation's latency floor.
+# "full" stays the default (same speed, simpler); rowskip is kept as the
+# parity-tested negative result and the starting point if a future
+# per-lane-gather primitive changes the VPU economics.
+BATCH_SAMPLER = "full"
 
 
 def _warp_compute(sv, su, hi, lo):

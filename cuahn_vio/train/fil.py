@@ -108,54 +108,65 @@ def build_window_bank(
     span = w1 * frame_dt
     taps = np.linspace(-cfg.exposure_s, 0.0, cfg.blur_taps)
 
-    pose_fn = []
-    for tr in trajs:
-        pose_fn.append((
-            jax.jit(jax.vmap(lambda t, tr=tr: (tr.pos_w(t), tr.quat_i2w(t)))),
-            jax.jit(jax.vmap(lambda t, tr=tr: tr.imu_true(t))),
-            jax.jit(jax.vmap(lambda t, tr=tr: tr.state_gt(t))),
-        ))
-
-    out = {k: [] for k in WindowBank._fields}
-    per = []  # chosen (traj_idx, t0)
-    while len(per) < n_windows:
-        ti = int(rng.integers(len(trajs)))
-        tr = trajs[ti]
-        t0 = rng.uniform(tr.t_min + 0.05, tr.t_max - span - 0.1)
-        # reject windows that dip too low (measurement model breaks at the
-        # plane) — mirrors trajpairs MIN_HEIGHT
-        probe_t = jnp.asarray(t0 + np.arange(w1 + 1) * frame_dt, jnp.float32)
-        hmin = float(np.min(np.asarray(pose_fn[ti][0](probe_t)[0])[:, 2]))
-        if hmin < min_height:
-            continue
-        per.append((ti, t0))
-
     t_sub = cfg.imu_substeps
-    for ti, t0 in per:
-        pq, imu, sgt = pose_fn[ti]
-        ft = t0 + np.arange(w1 + 1) * frame_dt
-        tap_t = (ft[:, None] + taps[None, :]).reshape(-1)
-        p_t, q_t = pq(jnp.asarray(tap_t, jnp.float32))
-        out["tap_p"].append(np.asarray(p_t).reshape(w1 + 1, cfg.blur_taps, 3))
-        out["tap_q"].append(np.asarray(q_t).reshape(w1 + 1, cfg.blur_taps, 4))
-        # IMU midpoints: T equal sub-intervals per frame interval
-        edges = np.linspace(0.0, frame_dt, t_sub + 1)
-        mids = ft[:-1, None] + 0.5 * (edges[:-1] + edges[1:])[None, :]
-        wt, at = imu(jnp.asarray(mids.reshape(-1), jnp.float32))
-        out["w_true"].append(np.asarray(wt).reshape(w1, t_sub, 3))
-        out["a_true"].append(np.asarray(at).reshape(w1, t_sub, 3))
-        out["dt"].append(
-            np.full((w1, t_sub), frame_dt / t_sub, np.float32)
+    n_per = (n_windows + len(trajs) - 1) // len(trajs)
+    parts = {k: [] for k in WindowBank._fields}
+    # one batched jitted evaluation per trajectory (NOT per window — the
+    # original per-window loop made thousands of tiny tunneled device
+    # calls and took tens of minutes)
+    for tr in trajs:
+        pq = jax.jit(jax.vmap(lambda t, tr=tr: (tr.pos_w(t), tr.quat_i2w(t))))
+        imu = jax.jit(jax.vmap(lambda t, tr=tr: tr.imu_true(t)))
+        sgt = jax.jit(jax.vmap(lambda t, tr=tr: tr.state_gt(t)))
+
+        # oversample 3x, then reject low windows in one vectorized pass
+        cand = rng.uniform(
+            tr.t_min + 0.05, tr.t_max - span - 0.1, size=3 * n_per
         )
-        ftj = jnp.asarray(ft, jnp.float32)
-        p_f, _ = pq(ftj)
+        ft = cand[:, None] + np.arange(w1 + 1)[None, :] * frame_dt  # (C,W+1)
+        p_f, q_f = pq(jnp.asarray(ft.reshape(-1), jnp.float32))
+        p_f = np.asarray(p_f).reshape(-1, w1 + 1, 3)
+        keep = np.where(p_f[:, :, 2].min(axis=1) >= min_height)[0][:n_per]
+        if keep.size == 0:
+            continue
+        ft = ft[keep]  # (K, W+1)
+        k = ft.shape[0]
+
+        tap_t = (ft[:, :, None] + taps[None, None, :]).reshape(-1)
+        p_t, q_t = pq(jnp.asarray(tap_t, jnp.float32))
+        parts["tap_p"].append(
+            np.asarray(p_t).reshape(k, w1 + 1, cfg.blur_taps, 3)
+        )
+        parts["tap_q"].append(
+            np.asarray(q_t).reshape(k, w1 + 1, cfg.blur_taps, 4)
+        )
+
+        edges = np.linspace(0.0, frame_dt, t_sub + 1)
+        mids = (
+            ft[:, :-1, None] + 0.5 * (edges[:-1] + edges[1:])[None, None, :]
+        )  # (K, W, T)
+        wt, at = imu(jnp.asarray(mids.reshape(-1), jnp.float32))
+        parts["w_true"].append(np.asarray(wt).reshape(k, w1, t_sub, 3))
+        parts["a_true"].append(np.asarray(at).reshape(k, w1, t_sub, 3))
+        parts["dt"].append(
+            np.full((k, w1, t_sub), frame_dt / t_sub, np.float32)
+        )
+
+        ftj = jnp.asarray(ft.reshape(-1), jnp.float32)
+        p_fr, _ = pq(ftj)
         _, q_gt, v_rc = sgt(ftj)  # v_rc = Rᵀ v_w (robocentric)
         r = np.asarray(jax.vmap(quat_to_rot)(q_gt))
-        out["gt_p"].append(np.asarray(p_f))
-        out["gt_q"].append(np.asarray(q_gt))
-        out["gt_v"].append(np.einsum("kij,kj->ki", r, np.asarray(v_rc)))
+        parts["gt_p"].append(np.asarray(p_fr).reshape(k, w1 + 1, 3))
+        parts["gt_q"].append(np.asarray(q_gt).reshape(k, w1 + 1, 4))
+        v_w = np.einsum("kij,kj->ki", r, np.asarray(v_rc))
+        parts["gt_v"].append(v_w.reshape(k, w1 + 1, 3))
 
-    return WindowBank(**{k: np.stack(v).astype(np.float32) for k, v in out.items()})
+    return WindowBank(
+        **{
+            k: np.concatenate(v).astype(np.float32)[:n_windows]
+            for k, v in parts.items()
+        }
+    )
 
 
 def make_fil_loss(model, fparams, cfg: FilConfig, vio_cfg: VioConfig,
