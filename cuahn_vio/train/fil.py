@@ -87,6 +87,45 @@ class WindowBank(NamedTuple):
     gt_v: np.ndarray  # (N, W+1, 3) world velocities at frame times
 
 
+def cached_window_bank(
+    n_windows: int = 1024,
+    cfg: FilConfig = FilConfig(),
+    seed: int = 0,
+) -> WindowBank:
+    """Build the bank in a CPU SUBPROCESS and cache it as npz.
+
+    The bank is pure spline math (tiny flops, 36 distinct jit shapes); on
+    a tunneled TPU backend each compile costs tens of seconds, so an
+    in-process build takes >10 min while a CPU subprocess takes ~1 min.
+    """
+    import os
+    import subprocess
+    import sys
+
+    cache = (
+        f"/tmp/cuahn_filbank_{n_windows}_{cfg.window}_{cfg.imu_substeps}_"
+        f"{cfg.blur_taps}_{cfg.exposure_s}_{seed}.npz"
+    )
+    if not os.path.exists(cache):
+        code = (
+            "from cuahn_vio.train.fil import FilConfig, build_window_bank\n"
+            "import numpy as np\n"
+            f"cfg = FilConfig(window={cfg.window}, "
+            f"imu_substeps={cfg.imu_substeps}, blur_taps={cfg.blur_taps}, "
+            f"exposure_s={cfg.exposure_s})\n"
+            f"b = build_window_bank({n_windows}, cfg, seed={seed})\n"
+            f"np.savez('{cache}.tmp.npz', **b._asdict())\n"
+            f"import os; os.replace('{cache}.tmp.npz', '{cache}')\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        subprocess.run(
+            [sys.executable, "-c", code], env=env, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        )
+    d = np.load(cache)
+    return WindowBank(**{k: d[k] for k in WindowBank._fields})
+
+
 def build_window_bank(
     n_windows: int = 1024,
     cfg: FilConfig = FilConfig(),
@@ -304,8 +343,9 @@ def fil_finetune(
     _warp.WARP_IMPL = "mm"  # batched training: XLA matmul formulation
 
     if bank is None:
-        log_fn("building FIL window bank...", flush=True)
-        bank = build_window_bank(cfg=cfg, seed=seed)
+        log_fn("building FIL window bank (CPU subprocess, cached)...",
+               flush=True)
+        bank = cached_window_bank(cfg=cfg, seed=seed)
     n_win = bank.tap_p.shape[0]
     log_fn(f"FIL bank: {n_win} windows of {cfg.window} frames", flush=True)
 
