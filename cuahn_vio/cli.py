@@ -1359,7 +1359,8 @@ def cmd_train_fil(args):
     i_t_i2c = jnp.array(-t[:3, :3].T @ t[:3, 3], jnp.float32)
     params = fil_finetune(
         model, params, opts.filter_params(), c_rot_i, i_t_i2c,
-        FilConfig(window=args.window, batch_size=args.batch_size),
+        FilConfig(window=args.window, batch_size=args.batch_size,
+                  w_cons=args.w_cons),
         steps=args.steps, lr=args.lr, seed=args.seed,
         checkpoint_path=args.out, save_every=args.save_every,
         pair_step_every=args.pair_step_every,
@@ -1761,6 +1762,9 @@ def main(argv=None):
                    help="interleave a standard single-pair training step "
                         "every N steps (NLL anchor for the cov head); "
                         "0 disables")
+    s.add_argument("--w-cons", type=float, default=0.0,
+                   help="filter-consistency (NEES) penalty weight "
+                        "(FilConfig.w_cons)")
     s.add_argument("--config", default=None)
     s.set_defaults(fn=cmd_train_fil)
 

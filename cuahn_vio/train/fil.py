@@ -67,6 +67,12 @@ class FilConfig:
     w_pos: float = 1.0
     w_vel: float = 0.3
     w_tilt: float = 30.0  # rad² are tiny; bring tilt to comparable scale
+    # consistency (NEES) penalty: log-symmetric penalty on the filter's
+    # own velocity/tilt NEES per frame — trains the covariance head to
+    # make the DEPLOYED filter consistent (the r4/r5 measured optimism is
+    # ~5x in the observable subspace; a chi2-temperature cannot fix it
+    # because the innovation stream is already calibrated). 0 disables.
+    w_cons: float = 0.0
     # imagery
     exposure_s: float = 0.008
     blur_taps: int = 3
@@ -294,6 +300,33 @@ def make_fil_loss(model, fparams, cfg: FilConfig, vio_cfg: VioConfig,
         loss = jnp.sum(
             wgt * (cfg.w_pos * e_pos + cfg.w_vel * e_vel + cfg.w_tilt * e_tilt)
         )
+
+        if cfg.w_cons > 0.0:
+            # filter-consistency: per-frame velocity (3-DoF) and tilt
+            # (2-DoF) NEES from the filter's own reported covariance;
+            # log-symmetric so over- and under-confidence both penalize,
+            # clipped so a singular block cannot blow up the loss
+            ev = outs.v_body - v_gt_body  # (W, 3)
+            pv = outs.cov_core[:, 6:9, 6:9]
+            nees_v = jax.vmap(
+                lambda e, p: e @ jnp.linalg.solve(
+                    p + 1e-10 * jnp.eye(3), e
+                )
+            )(ev, pv)
+            et = dq[:, :2]
+            pt = outs.cov_core[:, 3:5, 3:5]
+            nees_t = jax.vmap(
+                lambda e, p: e @ jnp.linalg.solve(
+                    p + 1e-12 * jnp.eye(2), e
+                )
+            )(et, pt)
+            l_cons = jnp.sum(
+                wgt * (
+                    jnp.log(jnp.clip(nees_v / 3.0, 1e-3, 1e6)) ** 2
+                    + jnp.log(jnp.clip(nees_t / 2.0, 1e-3, 1e6)) ** 2
+                )
+            )
+            loss = loss + cfg.w_cons * l_cons
         return loss
 
     def loss_fn(params, bank_slice, key):
