@@ -536,7 +536,7 @@ def cmd_run_vio(args):
     res = runner(
         imu_t, imu_w, imu_a, cam_t, frames,
         model, params, opts.filter_params(), opts.vio_config(),
-        opts.runner_options(),
+        opts.runner_options(), seed=args.seed,
     )
     save_pose_file(args.out, res.times, res.pose_w, res.cov_ori, res.cov_pos)
     print(f"wrote {len(res.times)} poses -> {args.out}")
@@ -1526,6 +1526,9 @@ def main(argv=None):
                         "filter/state.py FilterState)")
     s.add_argument("--bias-tau", type=float, default=None,
                    help="OU measurement-bias correlation time, seconds")
+    s.add_argument("--seed", type=int, default=0,
+                   help="MC-dropout PRNG seed (the headline number's "
+                        "dropout-seed sensitivity is ~±0.01 m)")
     s.add_argument("--chi2-soft", type=float, default=None,
                    help="soft innovation threshold for adaptive "
                         "measurement-cov inflation (0 disables)")
