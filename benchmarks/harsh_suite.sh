@@ -13,7 +13,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 REF=/root/reference/cuahn_ros/ov_data/uzh_fpv
 OUT=${1:-/tmp/harsh_suite}
-WEIGHTS=${2:-weights/uahn_tex_v6.msgpack}
+WEIGHTS=${2:-weights/uahn_fil_v10.msgpack}
 SEEDS=${3:-"1 2 3"}
 mkdir -p "$OUT"
 

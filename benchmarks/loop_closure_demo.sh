@@ -16,7 +16,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/loop_demo}
-WEIGHTS=${2:-weights/uahn_tex_v6.msgpack}
+WEIGHTS=${2:-weights/uahn_fil_v10.msgpack}
 mkdir -p "$OUT"
 
 python - "$OUT" <<'EOF'

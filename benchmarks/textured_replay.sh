@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 GT=/root/reference/cuahn_ros/ov_data/uzh_fpv/indoor_45_2_snapdragon_with_gt.txt
 OUT=${1:-/tmp/textured_replay}
-WEIGHTS=${2:-weights/uahn_tex_v6.msgpack}
+WEIGHTS=${2:-weights/uahn_fil_v10.msgpack}
 mkdir -p "$OUT"
 
 python -m cuahn_vio.cli make-synthetic --out "$OUT/replay.npz" --duration 20 \

@@ -538,6 +538,25 @@ def cmd_run_vio(args):
         model, params, opts.filter_params(), opts.vio_config(),
         opts.runner_options(), seed=args.seed,
     )
+    if getattr(args, "cov_calib", None):
+        # reported-covariance calibration (eval/calibration.py
+        # fit_cov_inflation docstring): scales the OUTPUT covariance only;
+        # the filter's internal gain path is untouched
+        from cuahn_vio.eval.calibration import apply_cov_inflation
+
+        factors = dict(
+            kv.split(":") for kv in args.cov_calib.split(",")
+        )
+        factors = {k: float(v) for k, v in factors.items()}
+        cal = apply_cov_inflation(res.cov_core, factors)
+        res = res._replace(
+            cov_core=cal,
+            cov_diag=np.einsum("fii->fi", cal).copy(),
+            cov_ori=cal[:, 3:6, 3:6],
+            cov_pos=cal[:, 0:3, 0:3],
+        )
+        print(f"applied reported-covariance calibration: {factors}")
+
     save_pose_file(args.out, res.times, res.pose_w, res.cov_ori, res.cov_pos)
     print(f"wrote {len(res.times)} poses -> {args.out}")
     if args.timing_out and res.stage_ms is not None:
@@ -1274,6 +1293,20 @@ def cmd_train_uahn(args):
     print(f"wrote weights -> {args.out}")
 
 
+def cmd_calibrate_state_covariance(args):
+    """Fit reported-covariance inflation factors from a logged run vs its
+    state GT (eval/calibration.py fit_cov_inflation). Fit on a CALIBRATION
+    sequence; pass the printed flag to run-vio on evaluation sequences."""
+    from cuahn_vio.eval.calibration import fit_cov_inflation
+
+    f = fit_cov_inflation(args.state_log, args.state_gt)
+    print(f"fitted observable-NEES inflation factors: {f}")
+    print(
+        "run-vio flag:  --cov-calib "
+        f"pos:{f['pos']:.3g},ori:{f['ori']:.3g},vel:{f['vel']:.3g}"
+    )
+
+
 def cmd_tune_filter(args):
     """Vmapped filter-parameter grid sweep over a logged measurement
     stream (eval/tuning.py): hundreds of full-sequence filter replays in
@@ -1529,6 +1562,11 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0,
                    help="MC-dropout PRNG seed (the headline number's "
                         "dropout-seed sensitivity is ~±0.01 m)")
+    s.add_argument("--cov-calib", default=None,
+                   help="reported-covariance calibration factors, e.g. "
+                        "'pos:5.1,ori:3.4,vel:8.7' (fit with "
+                        "calibrate-state-covariance on a CALIBRATION "
+                        "sequence; output covariance only, gains untouched)")
     s.add_argument("--chi2-soft", type=float, default=None,
                    help="soft innovation threshold for adaptive "
                         "measurement-cov inflation (0 disables)")
@@ -1723,6 +1761,15 @@ def main(argv=None):
                    help="fraction of samples drawn from the real-flight "
                         "pose-pair bank (data/trajpairs.py)")
     s.set_defaults(fn=cmd_train_uahn)
+
+    s = sub.add_parser(
+        "calibrate-state-covariance",
+        help="fit reported-covariance NEES calibration factors from a "
+             "logged run (apply via run-vio --cov-calib)",
+    )
+    s.add_argument("state_log", help="run-vio --state-out npz")
+    s.add_argument("state_gt", help="17-col sim state GT txt")
+    s.set_defaults(fn=cmd_calibrate_state_covariance)
 
     s = sub.add_parser(
         "tune-filter",

@@ -106,3 +106,71 @@ def fit_from_state_npz(path: str, **kw) -> dict:
                 "round-2 build"
             )
     return fit_k_net_cov(d["net_inno"], d["cov_meas"], d["net_cov88"], **kw)
+
+
+# ---------------------------------------------------------------- NEES calib
+COV_BLOCKS = ("pos", "ori", "vel", "ba", "bg")
+
+
+def inflation_diag(factors: dict, dtype=np.float32) -> np.ndarray:
+    """(15,) sqrt-factor diagonal D for P' = D P D from per-block variance
+    factors {pos, ori, vel, ba, bg} (missing -> 1). D P D scales each
+    block's variance by its factor and cross blocks by the geometric mean,
+    preserving positive-definiteness exactly."""
+    d = np.ones(15, dtype)
+    for i, name in enumerate(COV_BLOCKS):
+        d[3 * i : 3 * i + 3] = np.sqrt(float(factors.get(name, 1.0)))
+    return d
+
+
+def apply_cov_inflation(cov_core: np.ndarray, factors: dict) -> np.ndarray:
+    """Apply D P D to a (..., 15, 15) covariance stack."""
+    d = inflation_diag(factors, cov_core.dtype)
+    return cov_core * d[:, None] * d[None, :]
+
+
+def fit_cov_inflation(
+    state_npz: str,
+    state_gt_path: str,
+    targets: dict | None = None,
+    iters: int = 4,
+) -> dict:
+    """Fit per-block REPORTED-covariance inflation factors so the
+    observable-subspace NEES medians hit their chi-square ideals.
+
+    Motivation (rounds 4-5, benchmarks/results/round5/experiments.md): the
+    filter's internal covariance is ~5x optimistic in the observable
+    directions because the network's error violates the white-noise
+    measurement model (prior echo ~0.5, heavy tails), and every mechanism
+    that restores consistency THROUGH THE GAIN (R temperature, adaptive R,
+    bias-state augmentation, echo-aware H, NEES-trained covariance head)
+    measurably degrades ATE — the optimistic gain is the accurate gain.
+    The standard resolution is covariance CALIBRATION: keep the internal
+    gain, calibrate the REPORTED covariance (the quantity ov_eval's NEES
+    checks and downstream consumers use). Factors are fit on a
+    calibration sequence and must be applied UNCHANGED to evaluation
+    sequences (run-vio --cov-calib).
+
+    Iterative because height NEES mixes the pos and ori blocks; 3-4
+    fixed-point rounds converge to <1%.
+    """
+    from cuahn_vio.eval.simulation import ResultSimulation, load_state_gt
+
+    targets = targets or {"height": 1.0, "tilt": 2.0, "vel": 3.0}
+    d = np.load(state_npz)
+    gt = load_state_gt(state_gt_path)
+    factors = {"pos": 1.0, "ori": 1.0, "vel": 1.0}
+    for _ in range(iters):
+        cov = apply_cov_inflation(d["cov_core"], factors)
+        sim = ResultSimulation(
+            d["times"], d["pose"], gt,
+            est_v_body=d["v_body"], est_ba=d["ba"], est_bg=d["bg"],
+            est_cov_diag=np.einsum("fii->fi", cov), est_cov_core=cov,
+        )
+        nees = sim.calculate_nees_observable()
+        factors = {
+            "pos": factors["pos"] * max(nees["height"].median / targets["height"], 1e-3),
+            "ori": factors["ori"] * max(nees["tilt"].median / targets["tilt"], 1e-3),
+            "vel": factors["vel"] * max(nees["vel"].median / targets["vel"], 1e-3),
+        }
+    return {k: float(v) for k, v in factors.items()}
