@@ -934,8 +934,13 @@ def cmd_smooth_trajectory(args):
             edp = jnp.array(rows[:, 2:5], jnp.float32)
             edq = jnp.array(rows[:, 5:9], jnp.float32)
             if rows.shape[1] >= 10 and loop_sigma_dp is None:
-                # per-factor sigmas from the network covariance (col 10)
-                loop_sigma_dp = jnp.array(rows[:, 9], jnp.float32)
+                # per-factor sigmas from the network covariance (col 10),
+                # scaled by --loop-sigma-scale (the network covariance is
+                # measurably optimistic — eval/calibration.py — so the
+                # calibrated scale is > 1)
+                loop_sigma_dp = jnp.array(
+                    rows[:, 9] * args.loop_sigma_scale, jnp.float32
+                )
     elif args.loops:
         pairs = [
             tuple(int(x) for x in pair.split(":")) for pair in args.loops.split(",")
@@ -965,7 +970,9 @@ def cmd_smooth_trajectory(args):
         p_opt, q_opt = reassemble(sg, p_int, q_int, p_sep, q_sep)
         print(f"sharded GN over {mesh.devices.size} devices")
     else:
-        p_opt, q_opt, costs = optimize(graph, iters=args.iters)
+        p_opt, q_opt, costs = optimize(
+            graph, iters=args.iters, huber_delta=args.huber
+        )
         p_opt, q_opt = np.asarray(p_opt), np.asarray(q_opt)
 
     print(f"cost {float(costs[0]):.4g} -> {float(costs[-1]):.4g}")
@@ -1352,9 +1359,22 @@ def cmd_tune_filter(args):
     ]
     print(f"sweeping {len(grid)} grid points...")
     base = opts.filter_params()
+    net_mean, net_cov88 = log["net_mean"], log["net_cov88"]
+    # run-vio logs one row per OUTPUT frame (including the init frame,
+    # which carries no measurement); the replay steps over frame PAIRS.
+    # Drop leading measurement-free rows until the counts line up.
+    t_cam0 = log["times"][0] - opts.calib_camimu_dt  # logged t is IMU time
+    # first logged output is the SECOND processed frame (scan steps are
+    # image pairs, runner.py run_offline), so pairs = frames from fi on - 1
+    # = frames from the first output index on
+    n_pairs = len(d["cam_t"]) - int(
+        np.searchsorted(d["cam_t"], t_cam0 - 1e-4)
+    )
+    while len(net_mean) > n_pairs and np.trace(net_cov88[0]) == 0:
+        net_mean, net_cov88 = net_mean[1:], net_cov88[1:]
     outs, times = replay_measurements(
         d["imu_t"], d["imu_w"], d["imu_a"], d["cam_t"],
-        log["net_mean"], log["net_cov88"], base, grid,
+        net_mean, net_cov88, base, grid,
         opts.runner_options(), opts.vio_config(),
     )
     gt = load_pose_file(args.gt)
@@ -1664,6 +1684,14 @@ def main(argv=None):
     s.add_argument("--sigma-dth", type=float, default=0.01)
     s.add_argument("--loop-sigma-dp", type=float, default=None)
     s.add_argument("--loop-sigma-dth", type=float, default=None)
+    s.add_argument("--huber", type=float, default=0.0,
+                   help="IRLS robust threshold (redescending Cauchy kernel) "
+                        "on the whitened per-factor residual norm, in sigmas "
+                        "(0 = plain least squares); drives confident-outlier "
+                        "loop factors to ~zero weight")
+    s.add_argument("--loop-sigma-scale", type=float, default=1.0,
+                   help="multiply per-factor loop sigmas (col 10) by this "
+                        "calibration factor")
     s.add_argument("--mesh", action="store_true",
                    help="block-partitioned Schur solve over all devices")
     s.set_defaults(fn=cmd_smooth_trajectory)

@@ -85,9 +85,23 @@ def _factor_jacobians(p_i, q_i, p_j, q_j, dp_meas, dq_meas):
     return r, j_i, j_j
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6):
+@partial(jax.jit, static_argnames=("iters", "huber_delta"))
+def optimize(
+    graph: PoseGraph,
+    iters: int = 10,
+    damping: float = 1e-6,
+    huber_delta: float = 0.0,
+):
     """Gauss-Newton (lightly damped) over all keyframes; first pose gauged.
+
+    ``huber_delta`` > 0 enables IRLS robust weighting on the WHITENED
+    per-factor residual norm (units of sigma) with a redescending Cauchy
+    kernel: w = 1/(1 + (||r||/delta)^2), so a confident outlier loop
+    factor (e.g. a wrong network match with an optimistic covariance) is
+    driven to ~zero weight instead of the linear-tail pull a classic
+    Huber kernel would retain — the switchable-constraints resolution.
+    Chain odometry factors have sub-sigma residuals and are unaffected
+    (w ~ 1).
 
     Returns (p_opt, q_opt). Dense normal equations: fine to ~2k keyframes.
     """
@@ -106,6 +120,13 @@ def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6):
         rw = jnp.einsum("mab,mb->ma", graph.sqrt_info, r)  # (M, 6)
         jiw = jnp.einsum("mab,mbc->mac", graph.sqrt_info, j_i)
         jjw = jnp.einsum("mab,mbc->mac", graph.sqrt_info, j_j)
+
+        if huber_delta > 0.0:
+            rn = jnp.linalg.norm(rw, axis=1)  # (M,) sigma units
+            w = jnp.sqrt(1.0 / (1.0 + (rn / huber_delta) ** 2))
+            rw = rw * w[:, None]
+            jiw = jiw * w[:, None, None]
+            jjw = jjw * w[:, None, None]
 
         # assemble H = JᵀJ, g = Jᵀr with scatter-adds
         h = jnp.zeros((dim, dim), p.dtype)

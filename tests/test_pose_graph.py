@@ -91,3 +91,30 @@ def test_loop_closure_reduces_drift(rng):
     ate_drift = float(jnp.mean(jnp.linalg.norm(p_drift - p, axis=1)))
     ate_opt = float(jnp.mean(jnp.linalg.norm(p_opt - p, axis=1)))
     assert ate_opt < ate_drift
+
+
+def test_huber_downweights_outlier_loop_factor(rng):
+    """A single confident-outlier loop factor drags the plain-LSQ solution
+    but is neutralized by IRLS Huber weighting (optimize huber_delta)."""
+    p, q = make_circle_traj(25)
+    n = p.shape[0]
+    pairs = [(0, n - 1), (3, n - 3)]
+    edp, edq = [], []
+    for a, b in pairs:
+        d1, d2 = relative_pose(p[a], q[a], p[b], q[b])
+        edp.append(d1)
+        edq.append(d2)
+    # corrupt the second factor by 1 m with a confident 1 cm sigma
+    edp[1] = edp[1] + jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    graph = chain_graph_from_trajectory(
+        p, q, sigma_dp=0.02, sigma_dth=0.01,
+        extra_pairs=pairs, extra_dp=jnp.stack(edp), extra_dq=jnp.stack(edq),
+        extra_sigma_dp=0.01, extra_sigma_dth=0.01,
+    )
+    p_plain, _, _ = optimize(graph, iters=10)
+    p_rob, _, _ = optimize(graph, iters=10, huber_delta=3.0)
+    err_plain = float(jnp.mean(jnp.linalg.norm(p_plain - p, axis=1)))
+    err_rob = float(jnp.mean(jnp.linalg.norm(p_rob - p, axis=1)))
+    # robust run stays near the (true) chain; plain LSQ is dragged
+    assert err_plain > 0.02, err_plain
+    assert err_rob < err_plain * 0.5, (err_rob, err_plain)
