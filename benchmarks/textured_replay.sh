@@ -30,9 +30,18 @@ python -m cuahn_vio.cli error-singlerun se3 "$OUT/replay_gt.txt" "$OUT/est_dr.tx
   | grep -A3 "Absolute" | head -4
 
 echo "== CUAHN-VIO ($WEIGHTS) =="
+# Reported-covariance calibration (round 5): observable-NEES inflation
+# factors fit with calibrate-state-covariance on a 3-sequence CALIBRATION
+# set (indoor_45_12 / indoor_forward_3 / indoor_45_13 replays — train-side
+# trajectories, benchmark sequences excluded; geometric mean of the
+# per-sequence fits; results/round5/cov_calib/). Scales the OUTPUT
+# covariance only — the filter's internal gain path is untouched
+# (eval/calibration.py fit_cov_inflation docstring has the why).
+COV_CALIB="pos:5.78,ori:2.21,vel:6.61"
 python -m cuahn_vio.cli run-vio "$OUT/replay.npz" \
   --config "$OUT/replay_config.yaml" \
   --weights "$WEIGHTS" \
+  --cov-calib "$COV_CALIB" \
   --out "$OUT/est.txt" --state-out "$OUT/state.npz" \
   --timing-out "$OUT/timing.txt"
 
