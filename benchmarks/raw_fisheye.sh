@@ -40,8 +40,12 @@ python -m cuahn_vio.cli error-singlerun se3 "$OUT/virt_gt.txt" "$OUT/est_dr.txt"
   | grep -E "pos: rmse|matched"
 
 echo "== CUAHN-VIO on the distort->undistort imagery ($WEIGHTS) =="
+# shipped reported-covariance calibration (results/round5/cov_calib/) —
+# same factors as textured_replay.sh, applied unchanged
+COV_CALIB="pos:5.78,ori:2.21,vel:6.61"
 python -m cuahn_vio.cli run-vio "$OUT/raw_chain.npz" \
   --config "$OUT/virt_config.yaml" --weights "$WEIGHTS" \
+  --cov-calib "$COV_CALIB" \
   --out "$OUT/est.txt" --state-out "$OUT/state.npz"
 python -m cuahn_vio.cli error-singlerun se3 "$OUT/virt_gt.txt" "$OUT/est.txt" \
   | grep -E "pos: rmse|matched"
