@@ -16,7 +16,7 @@ python -m cuahn_vio.cli make-synthetic --out "$OUT/replay.npz" --duration 20 \
 
 python -m cuahn_vio.cli run-vio "$OUT/replay.npz" \
   --config "$OUT/replay_config.yaml" \
-  --weights weights/uahn_tex_v6.msgpack \
+  --weights weights/uahn_fil_v10.msgpack \
   --out "$OUT/est.txt" --state-out "$OUT/state.npz" \
   --timing-out "$OUT/timing.txt"
 
